@@ -1,0 +1,205 @@
+"""Stage-1 frozen text extraction: raw wikitext/pseudo-HTML → clean article text.
+
+Reimplements (from scratch, in Python 3) the observable behavior of the
+reference extractor pipeline:
+
+* wikitext → pseudo-HTML cascade: semantics of
+  ``/root/reference/wikipedia_connector/wikipedia_dump_extractor.py:49-125``
+  (``_strip_outer_brackets`` + ``_make_wikipedia_text_to_html``) — an
+  order-sensitive regex cascade; the ordering below is part of the contract.
+* paragraph / sentence / anchor extraction: semantics of
+  ``/root/reference/wikipedia_connector/tagged_sentence.py:130-158`` but over
+  the engine's own pseudo-HTML (regexes instead of BeautifulSoup — our
+  paragraphs are flat ``<p>…</p>`` blocks with ``<a href>`` anchors only).
+* input sanitation: semantics of ``tagged_sentence.py:200-219``
+  (``__clean_input``), normalized to Python 3 str.
+
+Everything here is a pure function of its argument — no config, no I/O, no
+randomness — so outputs are byte-identical per url under any partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --------------------------------------------------------------------------
+# wikitext → pseudo-HTML cascade (order matters; each step mirrors one rule
+# of wikipedia_dump_extractor.py:72-125)
+# --------------------------------------------------------------------------
+
+_RX_COMMENT = re.compile(r"<!--(.|\n)*?-->")
+_RX_FURTHER_READING_TAIL = re.compile(r"== *Further reading *==(.|\n)*")
+_RX_REFERENCES_TAIL = re.compile(r"== *References *==(.|\n)*")
+_RX_HEADLINE = re.compile(r"^(=+).+?(\1)", re.MULTILINE)
+_RX_REF_SELFCLOSE = re.compile(r"<(r|R)ef(( |\n)[^>]*?)?\/>")
+_RX_REF_PAIR = re.compile(r"<(r|R)ef(( |\n)[^>]*?[^\/])?>(.|\n)*?<\/(r|R)ef>")
+
+# bracket-nesting vocabulary for File/Image/external-link removal
+_NO_BRACKET = r"[^\[\]]"
+_NO_BRACKETS = _NO_BRACKET + r"*"
+_ONE_LEVEL = (
+    r"(((\[" + _NO_BRACKETS + r"\])|(\[\[" + _NO_BRACKETS + r"\]\]))" + _NO_BRACKETS + r")"
+)
+_EMBEDDED = _NO_BRACKETS + _ONE_LEVEL + r"*" + _NO_BRACKETS
+_RX_FILE_IMAGE = re.compile(r"\[\[((File)|(Image)):" + _EMBEDDED + r"\]\]")
+_RX_EXTERNAL = re.compile(r"\[https?:\/\/" + _NO_BRACKET + _EMBEDDED + r"\]")
+_RX_CATEGORY = re.compile(r"\[\[Category:" + _NO_BRACKETS + r"\]\]")
+_RX_BULLET = re.compile(r"\* ?")
+_RX_EMPHASIS = re.compile(r"'{2,3}")
+_RX_PARAGRAPH = re.compile(r"((.(.|\n)+?)\n\n)")
+_RX_WIKILINK = re.compile(r"\[\[([^\|\]]*)\|?(.*?)\]\]")
+_RX_SQUARE_RESIDUE = re.compile(r"\[(.*?)\]")
+_RX_EMPTY_P = re.compile(r"<p>[ \n]*<\/p>")
+_RX_P_GAP = re.compile(r"<\/p>\n*<p>")
+
+
+def _drop_brace_blocks(text: str) -> str:
+    """Remove ``{…}`` blocks (nesting-aware single pass).
+
+    Unmatched ``}`` at depth 0 is kept verbatim — same as the reference's
+    character scan (``wikipedia_dump_extractor.py:49-61``).
+    """
+    out: list[str] = []
+    depth = 0
+    for ch in text:
+        if ch == "{":
+            depth += 1
+        elif ch == "}" and depth > 0:
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def _anchor_for_wikilink(m: re.Match) -> str:
+    target, label = m.group(1), m.group(2)
+    if label == "":
+        label = target
+    target = target.replace(" ", "_")
+    return '<a href="/wiki/' + target + '">' + label + "</a>"
+
+
+def wikitext_to_html(text: str) -> str:
+    """The full stage-1 cascade. Order of operations is the contract."""
+    t = _drop_brace_blocks(text)
+    t = _RX_COMMENT.sub("", t)
+    t = _RX_FURTHER_READING_TAIL.sub("", t)
+    t = _RX_REFERENCES_TAIL.sub("", t)
+    t = _RX_HEADLINE.sub("\n", t)
+    t = _RX_REF_SELFCLOSE.sub("", t)
+    t = _RX_REF_PAIR.sub("", t)
+    t = _RX_FILE_IMAGE.sub("", t)
+    t = _RX_EXTERNAL.sub("", t)
+    t = _RX_CATEGORY.sub("", t)
+    t = _RX_BULLET.sub("", t)
+    t = _RX_EMPHASIS.sub("", t)
+    # paragraphize: blocks terminated by a blank line become <p>…</p>; a
+    # trailing block with no blank-line terminator stays bare (and is then
+    # invisible to paragraph extraction) — reference behavior.
+    t = _RX_PARAGRAPH.sub(r"<p>\2</p>", t)
+    t = _RX_WIKILINK.sub(_anchor_for_wikilink, t)
+    t = _RX_SQUARE_RESIDUE.sub(r"\1", t)
+    t = _RX_EMPTY_P.sub("", t)
+    t = _RX_P_GAP.sub("</p>\n\n<p>", t)
+    return t
+
+
+def extract_article_text(raw: str) -> str:
+    """Stage-1 entry point: raw page source → clean pseudo-HTML article text.
+
+    This is the function whose output populates the ``text`` column and whose
+    byte-identity per url the test suite asserts.
+    """
+    return wikitext_to_html(raw)
+
+
+def is_markup_consistent(text: str) -> bool:
+    """Bracket/brace balance check (``wikipedia_dump_extractor.py:127-133``)."""
+    return text.count("[") == text.count("]") and text.count("{") == text.count("}")
+
+
+# --------------------------------------------------------------------------
+# stage 1b: pseudo-HTML → paragraphs → sentences (+ anchors)
+# --------------------------------------------------------------------------
+
+_RX_P_BLOCK = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_RX_ANCHOR = re.compile(r'<a href="([^"]*)"[^>]*>(.*?)</a>', re.DOTALL)
+_RX_TAG = re.compile(r"<[^>]+>")
+_RX_SENT_SPLIT = re.compile(r"(?<=[.!?]) +")
+
+
+def extract_paragraphs(html_text: str) -> list[str]:
+    """All ``<p>…</p>`` blocks, inner markup intact."""
+    return _RX_P_BLOCK.findall(html_text)
+
+
+def paragraph_anchors(paragraph: str) -> list[tuple[str, str]]:
+    """``(href, anchor_text)`` pairs in document order."""
+    return [(m.group(1), _RX_TAG.sub("", m.group(2))) for m in _RX_ANCHOR.finditer(paragraph)]
+
+
+def paragraph_text(paragraph: str) -> str:
+    """Tag-stripped text of one paragraph (bs4 ``get_text()`` analogue)."""
+    return _RX_TAG.sub("", paragraph)
+
+
+def split_paragraph_sentences(paragraph_plain: str) -> list[str]:
+    """Line split then sentence split on ``. ! ?`` + space, keeping marks.
+
+    Mirrors ``tagged_sentence.py:150-155``.
+    """
+    return [
+        sentence
+        for line in paragraph_plain.split("\n")
+        for sentence in _RX_SENT_SPLIT.split(line)
+    ]
+
+
+_RX_NEWLINES = re.compile(r"\n+")
+_RX_SPACES = re.compile(r" +")
+_RX_NON_ASCII = re.compile(r"[^\x00-\x7f]")
+_RX_FOOTNOTE = re.compile(r"\[\d+\]")
+
+
+def normalize_sentence(sentence: str) -> str:
+    """Sanitize one sentence (semantics of ``tagged_sentence.py:200-219``):
+
+    collapse newlines/spaces, strip non-ASCII, drop ``[n]`` footnotes, drop
+    1-char tokens except ``a``/``A``/``I``.
+    """
+    s = _RX_NEWLINES.sub(" ", sentence)
+    s = _RX_SPACES.sub(" ", s)
+    s = _RX_NON_ASCII.sub("", s)
+    s = _RX_FOOTNOTE.sub("", s)
+    kept = [w for w in s.split(" ") if len(w) > 1 or w.lower() == "a" or w == "I"]
+    return " ".join(kept)
+
+
+def extract_sentences(html_text: str) -> list[dict]:
+    """Full stage-1b: article pseudo-HTML → sentence rows.
+
+    Returns dicts ``{paragraph_idx, rel_pos, sentence, anchors}`` where
+    ``rel_pos = paragraph_idx / paragraph_count`` (zero-based, as in
+    ``tagged_sentence.py:138-139``) and ``anchors`` is the paragraph's
+    ``(href, text)`` list. Only sentences that contain at least one anchor
+    text verbatim are kept (``tagged_sentence.py:156,167-173``).
+    """
+    paragraphs = extract_paragraphs(html_text)
+    n = len(paragraphs)
+    rows: list[dict] = []
+    for i, para in enumerate(paragraphs):
+        anchors = paragraph_anchors(para)
+        if not anchors:
+            continue
+        plain = paragraph_text(para)
+        for sent in split_paragraph_sentences(plain):
+            if any(text in sent for _, text in anchors):
+                rows.append(
+                    {
+                        "paragraph_idx": i,
+                        "rel_pos": i / n,
+                        "sentence": normalize_sentence(sent),
+                        "anchors": anchors,
+                    }
+                )
+    return rows

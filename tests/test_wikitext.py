@@ -1,0 +1,109 @@
+"""Frozen stage-1 contract tests (pure Python, no Spark).
+
+Golden cases derive from the reference's own inline tests
+(/root/reference/wikipedia_connector/wikipedia_dump_extractor.py:154-159)
+plus targeted cases for each cascade rule.
+"""
+
+from fact_extraction_spark.textops.wikitext import (
+    extract_article_text,
+    extract_paragraphs,
+    extract_sentences,
+    is_markup_consistent,
+    normalize_sentence,
+    paragraph_anchors,
+    split_paragraph_sentences,
+    wikitext_to_html,
+)
+from fact_extraction_spark.textops.tokenizer import tokenize
+
+
+def test_reference_golden_file_link_monster():
+    # the reference's committed golden case: a File link embedding a nested
+    # wiki link, an external link and a paired <ref> must vanish entirely
+    inp = (
+        "[[File:ThreeMenWalkingII.JPG|thumb|Three Men Walking II, 1949, "
+        "painted bronze sculpture [[Metropolitan Museum of Art]]. "
+        '"The surfaces of Three Men Walking (II), 1949, typify his technique."'
+        '<ref name="MMA">[http://www.metmuseum.org/x?rpp=20&pos=6 MMA]</ref>]]'
+    )
+    assert is_markup_consistent(inp)
+    assert wikitext_to_html(inp) == ""
+
+
+def test_brace_blocks_nesting_and_unmatched():
+    assert wikitext_to_html("a {{x {y} z}} b") == "a  b"
+    # unmatched closing brace at depth 0 is kept (reference char-scan rule)
+    assert wikitext_to_html("a } b") == "a } b"
+
+
+def test_headlines_and_tails():
+    txt = "== Early life ==\nBody text stays.\n\n== References ==\neverything after dies"
+    out = wikitext_to_html(txt)
+    assert "References" not in out
+    assert "Early life" not in out
+    assert "Body text stays." in out
+
+
+def test_wikilink_to_anchor_with_and_without_label():
+    out = wikitext_to_html("x [[Springfield Heights]] y\n\n")
+    assert '<a href="/wiki/Springfield_Heights">Springfield Heights</a>' in out
+    out2 = wikitext_to_html("x [[Springfield Heights|the town]] y\n\n")
+    assert '<a href="/wiki/Springfield_Heights">the town</a>' in out2
+
+
+def test_trailing_block_without_blank_line_is_not_a_paragraph():
+    out = wikitext_to_html("first block\n\ntrailing no terminator")
+    assert extract_paragraphs(out) == ["first block"]
+
+
+def test_paragraphs_equidistant_and_empty_dropped():
+    # whitespace-only block becomes <p>  </p> and is dropped by the
+    # empty-paragraph rule; adjacent paragraphs are re-spaced to \n\n
+    out = wikitext_to_html("one\n\n  \n\ntwo\n\n")
+    paras = extract_paragraphs(out)
+    assert paras == ["one", "two"]
+    assert "</p>\n\n<p>" in out
+
+
+def test_ref_tags_removed():
+    assert wikitext_to_html("a<ref name=x/>b\n\n") .find("ref") == -1
+    assert "dropped" not in wikitext_to_html("a<ref>dropped</ref>b\n\n")
+
+
+def test_bold_italics_and_bullets():
+    assert wikitext_to_html("'''bold''' and ''it'' * bullet\n\n").startswith(
+        "<p>bold and it bullet</p>")
+
+
+def test_sentence_split_keeps_punctuation():
+    assert split_paragraph_sentences("A b. C d! E f? G") == \
+        ["A b.", "C d!", "E f?", "G"]
+
+
+def test_normalize_sentence_rules():
+    # collapse whitespace, strip non-ascii, footnotes, 1-char tokens except a/A/I
+    assert normalize_sentence("I saw a  citą [12] x yz") == "I saw a cit yz"
+
+
+def test_anchors_extracted():
+    p = 'Born in <a href="/wiki/Baltimore">Baltimore, Maryland</a> today.'
+    assert paragraph_anchors(p) == [("/wiki/Baltimore", "Baltimore, Maryland")]
+
+
+def test_extract_sentences_end_to_end():
+    raw = ("{{Infobox}}\nAlice was born in [[Grandmere City]] long ago. "
+           "Unlinked sentence here.\n\nShe wrote books.\n\n")
+    text = extract_article_text(raw)
+    rows = extract_sentences(text)
+    # only the sentence containing the anchor text survives
+    assert len(rows) == 1
+    assert rows[0]["sentence"] == "Alice was born in Grandmere City long ago."
+    assert rows[0]["rel_pos"] == 0.0
+    assert rows[0]["anchors"] == [("/wiki/Grandmere_City", "Grandmere City")]
+
+
+def test_tokenizer_deterministic_and_punct_separated():
+    toks = tokenize("Born in Baltimore, Maryland.")
+    assert toks == ["Born", "in", "Baltimore", ",", "Maryland", "."]
+    assert tokenize("Alice's book-shelf") == ["Alice's", "book", "-", "shelf"]
