@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: docs/sec of the KG triple-extraction pipeline (the
+BASELINE.json throughput target) over the deterministic synthetic corpus,
+plus the heavy relational/document/embedding queries from __spark_entry__.
+
+The KG corpus is generated once per (seed, size) and cached as parquet in
+/tmp so repeated runs and both parallelism levels of the scaling bench see
+identical input (FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_SEED = 42
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_dir(sf: float) -> tuple[str, int]:
+    """Materialize (once) the KG bench corpus for this scale."""
+    n_persons = max(100, int(sf * 40000))  # sf0.1 -> 4000 persons (~4.5k pages)
+    out = f"/tmp/fx_bench_corpus_seed{BENCH_SEED}_n{n_persons}"
+    return out, n_persons
+
+
+def ensure_corpus(spark, sf: float) -> tuple[str, int]:
+    from fact_extraction_spark.fixtures import generate_corpus, write_corpus_parquet
+
+    out, n_persons = corpus_dir(sf)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        fx = generate_corpus(seed=BENCH_SEED, n_persons=n_persons)
+        write_corpus_parquet(spark, fx, out)
+        open(marker, "w").close()
+    return out, n_persons
+
+
+def run_kg_pipeline(spark, corpus: str) -> dict:
+    """learn + extract over the bench corpus; returns timings + docs/sec."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    t = {n: spark.read.parquet(f"{corpus}/{n}.parquet")
+         for n in ("pages", "facts", "types", "redirects", "ground_truth")}
+    n_pages = t["pages"].count()
+    cfg = PipelineConfig(articles_limit=0)
+
+    t0 = time.time()
+    model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"],
+                  cfg, exclude_subjects=t["ground_truth"])
+    # force model materialization
+    for df in (model.pattern_words, model.pattern_stats, model.pattern_types,
+               model.type_probs, model.rel_stats):
+        df.count()
+    learn_sec = time.time() - t0
+
+    t1 = time.time()
+    triples = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
+    n_triples = triples.count()
+    extract_sec = time.time() - t1
+    return {
+        "learn_sec": learn_sec,
+        "extract_sec": extract_sec,
+        "pages": n_pages,
+        "triples": n_triples,
+        "docs_per_sec": n_pages / extract_sec if extract_sec > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from fact_extraction_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus, _ = ensure_corpus(spark, sf)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    kg = run_kg_pipeline(spark, corpus)
+    timings["kg_learn"] = round(kg["learn_sec"], 3)
+    timings["kg_extract"] = round(kg["extract_sec"], 3)
+
+    heavy = [
+        "agg_scan_pushdown", "join_topk", "window_running",
+        "type_probability", "dedup_exact", "token_count",
+        "doc_fingerprint", "embedding_cosine_knn", "dictionary_mentions",
+    ]
+    qs = entry_mod.queries()
+    for name in heavy:
+        t1 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t1, 3)
+
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs_per_sec": round(kg["docs_per_sec"], 2),
+        "kg_pages": kg["pages"],
+        "kg_triples": kg["triples"],
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""Stage 2: mention detection.
+
+Two detectors share the frozen tokenizer so spans always line up:
+
+* ``tag_anchor_mentions`` — reference-parity tagging: the entities a sentence
+  mentions are the targets of its hyperlink anchors, located at token level
+  (semantics of tagged_sentence.py:17-64,78-83 TokenMatcher + the
+  capitalize hotfix :232-233), resolved through the redirect dictionary at
+  match time (the reference instead rewrote the whole dump in a setup pass,
+  data_cleaning/redirects_substitutor.py:136-168 — resolving at match time
+  avoids rewriting 10^12 documents).
+* ``detect_dictionary_mentions`` — the north-star detector: one Aho-Corasick
+  automaton over the FULL alias dictionary (titles ∪ redirects), built once
+  per executor inside the pandas UDF, one O(tokens) pass per sentence.
+
+Both emit the same shape: one row per (sentence, mention) with the token
+span and the canonical entity.
+
+Scale notes: the alias dictionary is broadcast once (a list of
+(alias, entity) pairs); the automaton is constructed lazily per executor
+process and cached in a module global keyed by broadcast id — NOT rebuilt
+per batch. At 10^12-document scale with ~10^7 aliases the broadcast is
+O(1 GB) — the documented fallback is a map-side join against a bucketed
+alias table for the long tail, keeping the automaton to the hot head.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
+
+from fact_extraction_spark.functions.uri import capitalize_first, strip_name
+from fact_extraction_spark.textops.aho import TokenAhoCorasick
+from fact_extraction_spark.textops.tokenizer import tokenize
+
+MENTION_SCHEMA = ArrayType(StructType([
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("entity", StringType()),
+]))
+
+TOKENS_AND_MENTIONS_SCHEMA = StructType([
+    StructField("tokens", ArrayType(StringType())),
+    StructField("mentions", MENTION_SCHEMA),
+])
+
+# per-executor automaton cache: {id(broadcast-value): TokenAhoCorasick}
+_AC_CACHE: dict[int, TokenAhoCorasick] = {}
+
+
+def _display_text(title: str) -> str:
+    return title.replace("_", " ")
+
+
+def _capitalize(name: str) -> str:
+    return name[:1].upper() + name[1:] if name else name
+
+
+# --------------------------------------------------------------------------
+# alias dictionary construction (DataFrame-side, fully relational)
+# --------------------------------------------------------------------------
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Collapse multi-hop redirect chains: (alias, final_target).
+
+    Iterative self-join until fixpoint (alias chains are short; the loop is
+    over a SMALL dimension table, never the corpus). Generalizes the
+    reference's single-hop dict substitution (redirects_substitutor.py:52-64).
+    """
+    resolved = redirects.select("alias", "target")
+    for _ in range(max_hops):
+        stepped = (
+            resolved.alias("r")
+            .join(resolved.alias("n"), F.col("r.target") == F.col("n.alias"), "left")
+            .select(
+                F.col("r.alias").alias("alias"),
+                F.coalesce(F.col("n.target"), F.col("r.target")).alias("target"),
+                (F.col("n.target").isNotNull()).alias("changed"),
+            )
+        )
+        stepped = stepped.localCheckpoint(eager=True)  # cut lineage per hop
+        any_changed = stepped.agg(F.max("changed")).first()[0]
+        resolved = stepped.drop("changed")
+        if not any_changed:
+            break
+    return resolved
+
+
+def build_alias_table(pages: DataFrame, redirects: DataFrame) -> DataFrame:
+    """(alias, entity) with alias in display form ("Foo Bar").
+
+    Aliases: every page title (identity) ∪ every resolved redirect alias.
+    The capitalize hotfix is applied to targets (reference
+    tagged_sentence.py:232-233).
+    """
+    titles = pages.select(strip_name("url").alias("title")).distinct()
+    identity = titles.select(
+        F.replace(F.col("title"), F.lit("_"), F.lit(" ")).alias("alias"),
+        capitalize_first("title").alias("entity"),
+    )
+    rd = resolve_redirects(redirects).select(
+        F.replace(F.col("alias"), F.lit("_"), F.lit(" ")).alias("alias"),
+        capitalize_first("target").alias("entity"),
+    )
+    return identity.unionByName(rd).dropDuplicates(["alias"])
+
+
+def collect_alias_broadcast(spark: SparkSession, alias_table: DataFrame):
+    """Broadcast the alias dictionary as a list of (alias, entity)."""
+    pairs = [(r["alias"], r["entity"]) for r in alias_table.collect()]
+    return spark.sparkContext.broadcast(pairs)
+
+
+# --------------------------------------------------------------------------
+# anchor-based tagging (reference parity)
+# --------------------------------------------------------------------------
+
+def _anchor_pairs(anchors):
+    """Normalize Arrow's struct representation (dict or tuple) to pairs."""
+    if anchors is None:
+        return []
+    out = []
+    for a in anchors:
+        if isinstance(a, dict):
+            out.append((a["href"], a["anchor_text"]))
+        else:
+            out.append((a[0], a[1]))
+    return out
+
+
+def _find_anchor_spans(tokens: list[str], anchors, redirect_map) -> list[tuple]:
+    """Token spans of each anchor text; entity = redirect-resolved target.
+
+    Equivalent to running TokenMatcher per link (tagged_sentence.py:78-83)
+    but via one tiny per-sentence automaton over this sentence's anchors.
+    """
+    ac = TokenAhoCorasick()
+    seen = set()
+    for href, anchor_text in anchors:
+        a_tokens = tuple(tokenize(anchor_text))
+        if not a_tokens or a_tokens in seen:
+            continue
+        seen.add(a_tokens)
+        name = _capitalize(href.split("/")[-1])
+        entity = redirect_map.get(name, name)
+        ac.add(list(a_tokens), entity)
+    ac.build()
+    return [(s, e, ent) for s, e, ent in ac.find(tokens)]
+
+
+def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc) -> DataFrame:
+    """sentences(url, sent_id, rel_pos, sentence, anchors) → mention rows.
+
+    Output: (url, sent_id, rel_pos, n_tokens, start, end, entity).
+    ``redirect_map_bc``: broadcast dict alias→final target (underscore form).
+    """
+    @pandas_udf(TOKENS_AND_MENTIONS_SCHEMA)
+    def _tag(sentence: pd.Series, anchors: pd.Series) -> pd.DataFrame:
+        rmap = redirect_map_bc.value
+        toks_out, ments_out = [], []
+        for sent, anch in zip(sentence, anchors):
+            tokens = tokenize(sent or "")
+            spans = _find_anchor_spans(tokens, _anchor_pairs(anch), rmap)
+            toks_out.append(tokens)
+            ments_out.append(spans)
+        return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
+
+    tagged = sentences.select(
+        "url", "sent_id", "rel_pos",
+        _tag(F.col("sentence"), F.col("anchors")).alias("tm"),
+    )
+    return (
+        tagged.select(
+            "url", "sent_id", "rel_pos",
+            F.col("tm.tokens").alias("tokens"),
+            F.explode(F.col("tm.mentions")).alias("m"),
+        )
+        .select(
+            "url", "sent_id", "rel_pos", "tokens",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.entity").alias("entity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dictionary-based detection (north star: per-executor Aho-Corasick)
+# --------------------------------------------------------------------------
+
+def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
+    """Scan every sentence against the full broadcast alias dictionary.
+
+    Output: (url, sent_id, rel_pos, tokens, start, end, alias, entity).
+    The automaton is built once per executor process (module-global cache
+    keyed by the broadcast payload id) — the north-star requirement.
+    """
+    schema = ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("alias", StringType()),
+        StructField("entity", StringType()),
+    ]))
+
+    @pandas_udf(StructType([
+        StructField("tokens", ArrayType(StringType())),
+        StructField("mentions", schema),
+    ]))
+    def _scan(sentence: pd.Series) -> pd.DataFrame:
+        key = id(alias_bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick.from_entries(
+                (tokenize(alias), (alias, entity))
+                for alias, entity in alias_bc.value)
+            _AC_CACHE.clear()  # never hold more than one dictionary
+            _AC_CACHE[key] = ac
+        toks_out, ments_out = [], []
+        for sent in sentence:
+            tokens = tokenize(sent or "")
+            hits = [(s, e, alias, entity)
+                    for s, e, (alias, entity) in ac.find(tokens)]
+            toks_out.append(tokens)
+            ments_out.append(hits)
+        return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
+
+    scanned = sentences.select(
+        "url", "sent_id", "rel_pos", _scan(F.col("sentence")).alias("tm"))
+    return (
+        scanned.select(
+            "url", "sent_id", "rel_pos",
+            F.col("tm.tokens").alias("tokens"),
+            F.explode(F.col("tm.mentions")).alias("m"),
+        )
+        .select(
+            "url", "sent_id", "rel_pos", "tokens",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.alias").alias("alias"),
+            F.col("m.entity").alias("entity"),
+        )
+    )
+
+
+def collect_redirect_map(spark: SparkSession, redirects: DataFrame):
+    """Broadcast {alias → final target} (underscore form, capitalized)."""
+    resolved = resolve_redirects(redirects)
+    mapping = {
+        _capitalize(r["alias"]): _capitalize(r["target"])
+        for r in resolved.collect()
+    }
+    return spark.sparkContext.broadcast(mapping)

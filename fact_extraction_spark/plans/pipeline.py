@@ -1,0 +1,210 @@
+"""The full distant-supervision lifecycle, Spark-first.
+
+Mirrors the reference's three entry points (SURVEY.md §3) as two plans:
+
+* ``learn(...)``   = learn_types.sh + learn_patterns.sh
+* ``extract(...)`` = extract_facts.sh + fact_cleaner.py
+
+Dataflow (SURVEY.md §7.1):
+  pages → stage1 text (Arrow UDF) → sentences → mentions (anchor tagging /
+  AC dictionary) → token windows → [learn: groupBy aggregates → pattern
+  tables] / [extract: type-gate → broadcast score → threshold → anti-join
+  known → triples].
+
+Every stage takes/returns DataFrames; the learned model is a set of small
+tables, broadcast at use sites.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fact_extraction_spark.functions.uri import capitalize_first, strip_name
+from fact_extraction_spark.operators.extract_text import explode_sentences, extract_text
+from fact_extraction_spark.operators.lexical_patterns import (
+    candidate_windows, cap_training_facts, learn_lexical_patterns,
+)
+from fact_extraction_spark.operators.mentions import (
+    collect_redirect_map, tag_anchor_mentions,
+)
+from fact_extraction_spark.operators.scoring import score_candidates
+from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+
+
+@dataclass
+class PipelineConfig:
+    """Engine knobs; defaults mirror config-default.ini + code defaults
+    (see BASELINE.md reference-envelope table)."""
+
+    relation_whitelist: list[str] | None = None     # config relation_types
+    facts_limit: int = 2000                         # per relation
+    relation_types_limit: int = 50
+    articles_limit: int = 5000
+    match_threshold: float = 0.5                    # config-default.ini:28
+                                                    # (code default is 0.005,
+                                                    # fact_extractor.py:18)
+    allow_unknown_entity_types: bool = True
+    type_matching: bool = True
+    window: int = 4                                 # lexical analogue of depth=2
+    subject_minimum: float = 0.05                   # type-count cleaning
+    object_minimum: float = 0.05
+    least_threshold_words: float = 2
+    least_threshold_types: float = 1
+    lang: str | None = "en"
+
+
+@dataclass
+class LearnedModel:
+    pattern_words: DataFrame
+    pattern_stats: DataFrame
+    pattern_types: DataFrame
+    type_probs: DataFrame
+    rel_stats: DataFrame
+    training_subjects: DataFrame
+    extras: dict = field(default_factory=dict)
+
+    def cache(self) -> "LearnedModel":
+        for df in (self.pattern_words, self.pattern_stats, self.pattern_types,
+                   self.type_probs, self.rel_stats, self.training_subjects):
+            df.cache()
+        return self
+
+
+def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None) -> DataFrame:
+    """pages → mention rows, excluding self-links (page linking itself,
+    wikipedia_pattern_extractor.py:189-192 ``res != entity``)."""
+    texts = extract_text(pages, lang=lang)
+    sentences = explode_sentences(texts)
+    mentions = tag_anchor_mentions(sentences, redirect_map_bc)
+    return mentions.filter(
+        F.col("entity") != capitalize_first(strip_name("url")))
+
+
+def learn(
+    spark: SparkSession,
+    pages: DataFrame,
+    facts: DataFrame,
+    types: DataFrame,
+    redirects: DataFrame,
+    cfg: PipelineConfig | None = None,
+    exclude_subjects: DataFrame | None = None,
+) -> LearnedModel:
+    """Train type patterns + lexical patterns."""
+    cfg = cfg or PipelineConfig()
+
+    training_facts = cap_training_facts(
+        facts,
+        relation_whitelist=cfg.relation_whitelist,
+        facts_limit=cfg.facts_limit,
+        relation_types_limit=cfg.relation_types_limit,
+        exclude_subjects=exclude_subjects,
+    ).cache()
+    training_subjects = training_facts.select("subj").distinct()
+
+    # filtered-index semantics (wikipedia_dump_index_creator.py:41-57):
+    # only articles that are training-fact subjects are read further.
+    train_urls = training_subjects.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/"), F.col("subj")).alias("url"))
+    train_pages = pages.join(train_urls, "url", "left_semi")
+
+    redirect_map_bc = collect_redirect_map(spark, redirects)
+    mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang)
+    windows = candidate_windows(mentions, window=cfg.window)
+
+    learned = learn_lexical_patterns(
+        windows, training_facts, types,
+        least_threshold_words=cfg.least_threshold_words,
+        least_threshold_types=cfg.least_threshold_types,
+    )
+    # type patterns are learned over the full (uncapped) fact set, as the
+    # type_learner does with facts_limit=0 (config-default.ini:19)
+    type_probs, rel_stats = learn_type_patterns(
+        facts, types,
+        subject_minimum=cfg.subject_minimum,
+        object_minimum=cfg.object_minimum,
+    )
+    return LearnedModel(
+        pattern_words=learned["pattern_words"],
+        pattern_stats=learned["pattern_stats"],
+        pattern_types=learned["pattern_types"],
+        type_probs=type_probs,
+        rel_stats=rel_stats,
+        training_subjects=training_subjects,
+        extras={"training_instances": learned["training_instances"]},
+    ).cache()
+
+
+def select_discovery_pages(
+    pages: DataFrame,
+    model: LearnedModel,
+    types: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Discovery corpus (fact_extractor.py:68-85 semantics): pages whose
+    title is not a training subject and whose types intersect the learned
+    subject-type gate (or are unknown, when allowed). Deterministic
+    ``articles_limit`` cap by url order (divergence: reference is
+    file-order)."""
+    titled = pages.withColumn("title", capitalize_first(strip_name("url")))
+    non_training = titled.join(
+        model.training_subjects.select(F.col("subj").alias("title")),
+        "title", "left_anti")
+
+    valid_types = model.pattern_types.filter(
+        F.col("side") == "subject").select("type").distinct()
+    typed_ok = (
+        types.join(F.broadcast(valid_types), "type")
+        .select(F.col("entity").alias("title")).distinct()
+    )
+    gated = non_training.join(typed_ok, "title", "left_semi")
+    if cfg.allow_unknown_entity_types:
+        untyped = non_training.join(
+            types.select(F.col("entity").alias("title")).distinct(),
+            "title", "left_anti")
+        gated = gated.unionByName(untyped)
+    if cfg.articles_limit:
+        w = Window.orderBy("url")
+        gated = (gated.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= cfg.articles_limit).drop("_rn"))
+    return gated.drop("title")
+
+
+def extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    model: LearnedModel,
+    types: DataFrame,
+    redirects: DataFrame,
+    cfg: PipelineConfig | None = None,
+    known_facts: DataFrame | None = None,
+) -> DataFrame:
+    """Run extraction over discovery pages → triples with evidence.
+
+    Output: (subj, pred, obj, score, url, sent_id, rel_pos), ordered by
+    score desc (the intent of fact_extractor.py:208 — the reference line
+    sorts by the subject's 4th character, a documented bug we fix).
+    """
+    cfg = cfg or PipelineConfig()
+    discovery = select_discovery_pages(pages, model, types, cfg)
+
+    redirect_map_bc = collect_redirect_map(spark, redirects)
+    mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang)
+    # dead-object drop (fact_extractor.py:189-191)
+    mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
+    windows = candidate_windows(mentions, window=cfg.window)
+
+    scored = score_candidates(
+        windows,
+        model.pattern_words, model.pattern_stats, model.pattern_types,
+        model.type_probs, model.rel_stats, types,
+        allow_unknown_entity_types=cfg.allow_unknown_entity_types,
+        match_threshold=cfg.match_threshold,
+    )
+    if known_facts is not None:
+        # new-fact subtraction (pattern_recognition/fact_cleaner.py:15-25)
+        scored = scored.join(known_facts.select("subj", "pred", "obj"),
+                             ["subj", "pred", "obj"], "left_anti")
+    return scored.orderBy(F.desc("score"), "subj", "pred", "obj")

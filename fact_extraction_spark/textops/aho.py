@@ -1,0 +1,87 @@
+"""Token-level Aho-Corasick automaton for batched mention detection.
+
+The reference finds mention spans with a per-link NFA scan
+(/root/reference/wikipedia_connector/tagged_sentence.py:17-64, TokenMatcher)
+— O(sentence_tokens x links) per sentence, rebuilt per link. For
+dictionary-scale detection (every page title + redirect alias, millions of
+entries at Common-Crawl scale) we need one automaton over ALL aliases:
+classic Aho-Corasick, but over token sequences instead of characters.
+
+Built once per executor from the broadcast alias dictionary (see
+operators/mentions.py), then each sentence is a single O(tokens + matches)
+pass regardless of dictionary size.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+class TokenAhoCorasick:
+    """Aho-Corasick over token sequences.
+
+    ``add(tokens, payload)`` registers one alias; ``build()`` computes
+    failure links; ``find(tokens)`` yields ``(start, end_inclusive, payload)``
+    for every dictionary hit in a single pass.
+    """
+
+    def __init__(self) -> None:
+        # each node: dict token -> next state; parallel arrays for links
+        self._next: list[dict[str, int]] = [{}]
+        self._fail: list[int] = [0]
+        self._out: list[list[tuple[int, object]]] = [[]]  # (length, payload)
+        self._built = False
+
+    def add(self, tokens: list[str], payload: object) -> None:
+        assert not self._built, "add() after build()"
+        if not tokens:
+            return
+        state = 0
+        for tok in tokens:
+            nxt = self._next[state].get(tok)
+            if nxt is None:
+                nxt = len(self._next)
+                self._next.append({})
+                self._fail.append(0)
+                self._out.append([])
+                self._next[state][tok] = nxt
+            state = nxt
+        self._out[state].append((len(tokens), payload))
+
+    def build(self) -> "TokenAhoCorasick":
+        queue: deque[int] = deque()
+        for state in self._next[0].values():
+            self._fail[state] = 0
+            queue.append(state)
+        while queue:
+            state = queue.popleft()
+            for tok, child in self._next[state].items():
+                queue.append(child)
+                f = self._fail[state]
+                while f and tok not in self._next[f]:
+                    f = self._fail[f]
+                self._fail[child] = self._next[f].get(tok, 0)
+                if self._fail[child] == child:
+                    self._fail[child] = 0
+                self._out[child] = self._out[child] + self._out[self._fail[child]]
+        self._built = True
+        return self
+
+    def find(self, tokens: list[str]):
+        """Yield (start, end_inclusive, payload) for every match."""
+        assert self._built, "find() before build()"
+        state = 0
+        for i, tok in enumerate(tokens):
+            while state and tok not in self._next[state]:
+                state = self._fail[state]
+            state = self._next[state].get(tok, 0)
+            for length, payload in self._out[state]:
+                yield (i - length + 1, i, payload)
+
+    @classmethod
+    def from_entries(cls, entries) -> "TokenAhoCorasick":
+        """entries: iterable of (token_list, payload)."""
+        ac = cls()
+        for tokens, payload in entries:
+            ac.add(list(tokens), payload)
+        return ac.build()

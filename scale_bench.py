@@ -1,0 +1,107 @@
+"""Two-parallelism scaling bench (the sandbox proxy for the north rule's
+N→4N executor criterion; see BASELINE.md "Engine targets").
+
+Runs the IDENTICAL KG extraction job at local[N] and local[4N] on the same
+cached corpus and reports throughput at both plus
+efficiency = (throughput@4N / throughput@N) / 4. Results are appended to
+BENCH/BASELINE.md.
+
+Each level runs in a fresh subprocess so the JVM/session cannot leak state
+between levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from fact_extraction_spark.session import get_spark
+from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
+
+cpus = int(sys.argv[1]); corpus = sys.argv[2]
+spark = get_spark("scale_bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(8, cpus))
+spark.sparkContext.setLogLevel("ERROR")
+t = {{n: spark.read.parquet(f"{{corpus}}/{{n}}.parquet")
+     for n in ("pages", "facts", "types", "redirects", "ground_truth")}}
+n_pages = t["pages"].count()
+cfg = PipelineConfig(articles_limit=0)
+model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"], cfg,
+              exclude_subjects=t["ground_truth"])
+for df in (model.pattern_words, model.pattern_stats, model.pattern_types,
+           model.type_probs, model.rel_stats):
+    df.count()
+t0 = time.time()
+triples = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
+n = triples.count()
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "pages": n_pages, "triples": n,
+                   "extract_sec": dt, "docs_per_sec": n_pages / dt}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus: str) -> dict:
+    code = _WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), corpus],
+        capture_output=True, text=True, check=True)
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    n_low = int(os.environ.get("SCALE_BENCH_N", "8"))
+    n_high = 4 * n_low
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # materialize the shared corpus once (same generator/seed as bench.py)
+    sys.path.insert(0, REPO)
+    import bench
+    from fact_extraction_spark.session import get_spark
+    sf = bench._sf_from_dir(sf_dir)
+    spark = get_spark("scale_bench_prep", master="local[8]")
+    corpus, _ = bench.ensure_corpus(spark, sf)
+    spark.stop()
+
+    low = run_level(n_low, corpus)
+    high = run_level(n_high, corpus)
+    efficiency = (high["docs_per_sec"] / low["docs_per_sec"]) / (n_high / n_low)
+    result = {
+        "low": low, "high": high,
+        "efficiency": round(efficiency, 4),
+        "sf": sf,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header_needed = not os.path.exists(path)
+    with open(path, "a") as f:
+        if header_needed:
+            f.write(
+                "# BENCH/BASELINE — throughput & scaling efficiency\n\n"
+                "Sandbox proxy for the N→4N executor criterion "
+                "(BASELINE.json): the identical KG extraction job at two\n"
+                "local parallelism levels on the same cached corpus; "
+                "efficiency = (docs/sec@4N ÷ docs/sec@N) ÷ 4.\n\n"
+                "| when | sf | pages | local[N] docs/s | local[4N] docs/s "
+                "| efficiency |\n|---|---|---|---|---|---|\n")
+        f.write(
+            f"| {result['timestamp']} | {sf} | {low['pages']} "
+            f"| {low['docs_per_sec']:.1f} (N={n_low}) "
+            f"| {high['docs_per_sec']:.1f} (N={n_high}) "
+            f"| {efficiency:.3f} |\n")
+
+
+if __name__ == "__main__":
+    main()

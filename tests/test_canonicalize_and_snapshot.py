@@ -1,0 +1,99 @@
+"""Connected-components canonicalization + snapshot/lineage resume."""
+
+from fact_extraction_spark.operators.canonicalize import (
+    build_equivalence_edges, canonical_mapping, canonicalize_triples,
+    connected_components,
+)
+from fact_extraction_spark.sinks import snapshot as snap
+from pyspark.sql import functions as F
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    comps = {r["vertex"]: r["component"]
+             for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["a"] != comps["x"]
+
+
+def test_canonical_mapping_prefers_titles(spark, tables):
+    edges = build_equivalence_edges(tables["redirects"])
+    titles = spark.createDataFrame([("Veldt_Harbor",), ("Grandmere_City",)],
+                                   ["name"])
+    mapping = {r["name"]: r["canonical"]
+               for r in canonical_mapping(edges, preferred=titles).collect()}
+    # 2-hop alias chain lands on the real page title
+    assert mapping["Old_Veldt"] == "Veldt_Harbor"
+    assert mapping["Veldt_Haven"] == "Veldt_Harbor"
+    assert mapping["grandmere_City"] == "Grandmere_City"
+    assert mapping["The_Grand_City"] == "Grandmere_City"
+
+
+def test_canonicalize_triples_rewrites_both_sides(spark, tables):
+    triples = spark.createDataFrame(
+        [("Old_Veldt", "birthPlace", "The_Grand_City", 0.9)],
+        "subj string, pred string, obj string, score double")
+    edges = build_equivalence_edges(tables["redirects"])
+    titles = spark.createDataFrame([("Veldt_Harbor",), ("Grandmere_City",)],
+                                   ["name"])
+    out = canonicalize_triples(triples, canonical_mapping(edges, titles)).first()
+    assert (out["subj"], out["obj"]) == ("Veldt_Harbor", "Grandmere_City")
+    assert out["score"] == 0.9  # payload columns survive
+
+
+def _mk_triples(spark, n=200):
+    return spark.range(n).select(
+        F.concat(F.lit("S"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("O"), F.col("id")).alias("obj"),
+    )
+
+
+def test_snapshot_commit_read_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "table")
+    df = snap.with_part_id(_mk_triples(spark), "subj", num_parts=8)
+    result = snap.commit_partitions(spark, df, base, stage="triples")
+    assert result["parts"] == 8 and result["rows"] == 200
+    back = snap.read_committed(spark, base, stage="triples")
+    assert back.count() == 200
+    lin = snap.lineage(spark, base)
+    assert lin.filter("status='committed'").count() == 8
+    # counters match data
+    per_part = {r["part_id"]: r["row_count"] for r in lin.collect()}
+    got = {r["part_id"]: r["cnt"] for r in
+           back.groupBy("part_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_part == got
+
+
+def test_snapshot_resume_no_dupes_no_gaps(spark, tmp_path):
+    """Kill-and-rerun: commit a subset of partitions, then rerun the full
+    input — only the missing partitions are processed; nothing duplicates."""
+    base = str(tmp_path / "table")
+    full = snap.with_part_id(_mk_triples(spark), "subj", num_parts=8).cache()
+
+    # simulated first run that died after committing parts {0,1,2}
+    partial = full.filter(F.col("part_id") < 3)
+    r1 = snap.commit_partitions(spark, partial, base, stage="triples")
+    assert r1["parts"] == 3
+
+    # orphan data (written but never committed) must stay invisible
+    orphan = full.filter(F.col("part_id") == 3)
+    orphan.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic").partitionBy("part_id") \
+        .parquet(base + "/data")
+    visible = snap.read_committed(spark, base, stage="triples")
+    assert visible.select("part_id").distinct().count() == 3
+
+    # resume with the FULL input: only parts 3..7 are new work
+    r2 = snap.commit_partitions(spark, full, base, stage="triples")
+    assert r2["parts"] == 5
+
+    back = snap.read_committed(spark, base, stage="triples")
+    assert back.count() == 200                      # no gaps
+    assert back.dropDuplicates(["subj"]).count() == 200  # no dupes
+
+    # a third run is a no-op
+    r3 = snap.commit_partitions(spark, full, base, stage="triples")
+    assert r3["parts"] == 0

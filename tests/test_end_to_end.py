@@ -1,0 +1,66 @@
+"""Golden end-to-end: learn on the fixture corpus, extract on held-out
+pages, evaluate P/R vs ground truth (target >= 0.95, BASELINE.json)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fact_extraction_spark.plans.evaluate import assert_no_leak, evaluate
+from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
+
+
+@pytest.fixture(scope="module")
+def model_and_triples(spark, tables):
+    cfg = PipelineConfig(articles_limit=0)  # no article cap in tests
+    model = learn(spark, tables["pages"], tables["facts"], tables["types"],
+                  tables["redirects"], cfg,
+                  exclude_subjects=tables["ground_truth"])
+    triples = extract(spark, tables["pages"], model, tables["types"],
+                      tables["redirects"], cfg).cache()
+    return model, triples
+
+
+def test_no_training_leak(spark, tables, model_and_triples):
+    model, _ = model_and_triples
+    assert_no_leak(model.training_subjects, tables["ground_truth"])
+
+
+def test_precision_recall_above_target(spark, tables, model_and_triples):
+    _, triples = model_and_triples
+    metrics = evaluate(triples, tables["ground_truth"])
+    rows = metrics.collect()
+    assert rows, "no relations evaluated"
+    total_right = sum(r["right"] for r in rows)
+    total_wrong = sum(r["wrong"] for r in rows)
+    total_known = sum(r["known"] for r in rows)
+    precision = total_right / max(1, total_right + total_wrong)
+    recall = total_right / max(1, total_known)
+    print({r["pred"]: (r["precision"], r["recall"]) for r in rows})
+    assert precision >= 0.95, f"precision {precision} < 0.95"
+    assert recall >= 0.95, f"recall {recall} < 0.95"
+
+
+def test_extraction_is_score_ordered_with_evidence(model_and_triples):
+    _, triples = model_and_triples
+    rows = triples.collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["url"] and r["sent_id"] is not None for r in rows)
+
+
+def test_known_fact_subtraction(spark, tables, model_and_triples):
+    model, triples = model_and_triples
+    cfg = PipelineConfig(articles_limit=0)
+    new_only = extract(spark, tables["pages"], model, tables["types"],
+                       tables["redirects"], cfg,
+                       known_facts=tables["facts"])
+    # every surviving triple is absent from the known set
+    overlap = new_only.join(tables["facts"], ["subj", "pred", "obj"]).count()
+    assert overlap == 0
+    assert new_only.count() <= triples.count()
+
+
+def test_redirect_alias_objects_resolved(model_and_triples, tables):
+    _, triples = model_and_triples
+    objs = {r["obj"] for r in triples.select("obj").distinct().collect()}
+    # objects linked via the alias must be emitted under the canonical name
+    assert "Veldt_Haven" not in objs

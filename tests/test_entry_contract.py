@@ -1,0 +1,65 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare against its DuckDB oracle (row count + column names +
+order-insensitive values)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "item"):  # numpy scalars
+        return _norm(v.item())
+    return v
+
+
+def _rows(df_rows, columns):
+    cols = sorted(columns)
+    return sorted(
+        tuple(_norm(r[c]) for c in cols) for r in df_rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    fn = entry_mod.queries()[name]
+    got_df = fn(spark, SF_DIR)
+    got = _rows([r.asDict() for r in got_df.collect()], got_df.columns)
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        assert len(got) >= 0  # rows-only check
+        return
+    exp_pd = ddb.execute(sql).df()
+    assert sorted(exp_pd.columns.tolist()) == sorted(got_df.columns), \
+        f"{name}: column mismatch {exp_pd.columns.tolist()} vs {got_df.columns}"
+    exp = _rows(exp_pd.to_dict("records"), exp_pd.columns.tolist())
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    mismatches = [(g, e) for g, e in zip(got, exp) if g != e]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert {"subj", "pred", "obj", "score"} <= set(df.columns)

@@ -1,0 +1,145 @@
+"""Lexical pattern learning + scoring algebra on tiny hand-built inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fact_extraction_spark.operators.lexical_patterns import (
+    candidate_windows, cap_training_facts, learn_lexical_patterns,
+)
+from fact_extraction_spark.operators.scoring import score_candidates
+
+MENTIONS_DDL = ("url string, sent_id int, rel_pos double, "
+                "tokens array<string>, start int, end int, entity string")
+
+
+def _mention(url, sent_id, rel_pos, sentence, entity, start, end):
+    return (f"https://en.wikipedia.org/wiki/{url}", sent_id, rel_pos,
+            sentence.split(" "), start, end, entity)
+
+
+@pytest.fixture(scope="module")
+def tiny_mentions(spark):
+    rows = [
+        # Alice born in Oslo ; tokens: [Alice, was, born, in, Oslo, .]
+        _mention("Alice", 0, 0.0, "Alice was born in Oslo .", "Oslo", 4, 4),
+        # Bob born in Paris
+        _mention("Bob", 0, 0.0, "Bob was born in Paris .", "Paris", 4, 4),
+        # Carl visited Oslo (distractor)
+        _mention("Carl", 0, 0.5, "Carl once visited Oslo happily .", "Oslo", 3, 3),
+    ]
+    return spark.createDataFrame(rows, MENTIONS_DDL)
+
+
+def test_candidate_windows_slots_and_words(spark, tiny_mentions):
+    w = candidate_windows(tiny_mentions, window=2)
+    alice = {(r["slot"], r["word"])
+             for r in w.filter(F.col("subject") == "Alice").collect()}
+    # window 2 around Oslo at pos 4: slots -2,-1 -> born,in ; +1 -> '.'
+    assert alice == {(-2, "born"), (-1, "in"), (1, ".")}
+    n = w.filter(F.col("subject") == "Alice").select("n_slots").first()[0]
+    assert n == 3
+
+
+def test_learn_patterns_merge_is_groupby(spark, tiny_mentions):
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"),
+         ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    learned = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    words = {(r["slot"], r["word"]): r["freq"]
+             for r in learned["pattern_words"].collect()}
+    # 'born'@-2 and 'in'@-1 and '.'@+1 appear in both sentences -> freq 2;
+    # threshold 2 keeps them; nothing else survives
+    assert words == {(-2, "born"): 2, (-1, "in"): 2, (1, "."): 2}
+    stats = learned["pattern_stats"].first()
+    assert stats["covered_sentences"] == 2
+    assert stats["total_words"] == 6
+    assert stats["relative_position"] == pytest.approx(0.0)
+    ptypes = {(r["side"], r["type"]): r["freq"]
+              for r in learned["pattern_types"].collect()}
+    assert ptypes[("subject", "Person")] == 2
+    assert ptypes[("object", "City")] == 2
+
+
+def test_scoring_separates_true_match_from_distractor(spark, tiny_mentions):
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"), ("Carl", "Person"),
+         ("Dora", "Person"), ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    learned = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+    type_probs, rel_stats = learn_type_patterns(facts, types, 0, 0)
+
+    # candidate: Dora born in Oslo (unseen page, same construction) + the
+    # Carl distractor
+    cand = spark.createDataFrame([
+        _mention("Dora", 0, 0.0, "Dora was born in Oslo .", "Oslo", 4, 4),
+        _mention("Carl", 0, 0.5, "Carl once visited Oslo happily .", "Oslo", 3, 3),
+    ], MENTIONS_DDL)
+    cw = candidate_windows(cand, window=2)
+    scored = score_candidates(
+        cw, learned["pattern_words"], learned["pattern_stats"],
+        learned["pattern_types"], type_probs, rel_stats, types,
+        allow_unknown_entity_types=True, match_threshold=0.0)
+    rows = {r["subj"]: r for r in scored.collect()}
+    assert rows["Dora"]["pred"] == "birthPlace"
+    # Dora: all 3 slots match -> syntax = min(1, 9/(6/2)/(3+1)) = 0.75
+    # type scores: P(bP|Person)=1, P(bP|City)=1, |types|=1 -> 1.0 each
+    # position: (1-0)^2 = 1; weights [1, 1, .15, 1]
+    exp = (1 * 1 + 1 * 1 + 0.15 * 1 + 1 * 0.75) / (1 + 1 + 0.15 + 1)
+    assert rows["Dora"]["score"] == pytest.approx(exp)
+    # Carl distractor: 0 slot matches -> syntax 0; position (1-0.5)^2=0.25
+    exp_carl = (1 + 1 + 0.15 * 0.25 + 0) / 3.15
+    assert rows["Carl"]["score"] == pytest.approx(exp_carl)
+    assert rows["Dora"]["score"] > rows["Carl"]["score"]
+
+
+def test_unknown_types_renormalize_weights(spark, tiny_mentions):
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"),
+         ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    learned = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+    type_probs, rel_stats = learn_type_patterns(facts, types, 0, 0)
+
+    # Eve has NO types; with allow_unknown her subject score is None and
+    # the weights renormalize to [owp, 0.15, 1.0]
+    cand = spark.createDataFrame([
+        _mention("Eve", 0, 0.0, "Eve was born in Oslo .", "Oslo", 4, 4),
+    ], MENTIONS_DDL)
+    cw = candidate_windows(cand, window=2)
+    scored = score_candidates(
+        cw, learned["pattern_words"], learned["pattern_stats"],
+        learned["pattern_types"], type_probs, rel_stats, types,
+        allow_unknown_entity_types=True, match_threshold=0.0)
+    row = scored.first()
+    exp = (1 * 1 + 0.15 * 1 + 1 * 0.75) / (1 + 0.15 + 1)
+    assert row["score"] == pytest.approx(exp)
+    # with allow_unknown=False the candidate dies at the gate
+    scored2 = score_candidates(
+        cw, learned["pattern_words"], learned["pattern_stats"],
+        learned["pattern_types"], type_probs, rel_stats, types,
+        allow_unknown_entity_types=False, match_threshold=0.0)
+    assert scored2.count() == 0
+
+
+def test_cap_training_facts_deterministic(spark):
+    facts = spark.createDataFrame(
+        [(f"S{i}", p, f"O{i}") for i in range(10) for p in ("a", "b", "c")],
+        "subj string, pred string, obj string")
+    capped = cap_training_facts(facts, facts_limit=3, relation_types_limit=2)
+    got = capped.groupBy("pred").count().collect()
+    assert {(r["pred"], r["count"]) for r in got} == {("a", 3), ("b", 3)}
