@@ -267,6 +267,82 @@ def q_embedding_cosine_knn(spark, sf_dir):
             .filter(F.col("cosine") > 0.5))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the verifier baseline)."""
+    from fact_extraction_spark.dataops.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification; banding
+    at 32 hashes / 16 bands has ~1.0 recall at the 0.5 threshold, so the
+    output equals the exact all-pairs oracle."""
+    from fact_extraction_spark.dataops.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signature per document (md5-derived, oracle-portable)."""
+    from fact_extraction_spark.dataops.dedup import simhash_signatures
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return simhash_signatures(d, bits=16)
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style min rolling-hash fingerprint per document."""
+    from fact_extraction_spark.dataops.textquality import rolling_fingerprints
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return rolling_fingerprints(d, window=4)
+
+
+def q_language_id(spark, sf_dir):
+    """Stopword-inventory language ID (en/de/fr/und) per document."""
+    from fact_extraction_spark.dataops.textquality import language_id
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return language_id(d)
+
+
+def q_quality_full(spark, sf_dir):
+    """Composite quality score (length/punct/stopword heuristics)."""
+    from fact_extraction_spark.dataops.textquality import quality_scores
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return quality_scores(d)
+
+
+def q_token_counts_bpe(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per document."""
+    from fact_extraction_spark.dataops.textquality import token_counts
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return token_counts(d)
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """ANN top-10: signed-projection LSH bucket (deterministic reference
+    planes from the data) + exact cosine re-rank inside the bucket."""
+    from fact_extraction_spark.dataops.similarity import (
+        lsh_bucketed_topk, reference_planes)
+    e = _t(spark, sf_dir, "embeddings")
+    planes = reference_planes(e, n_planes=2, stride=97)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return lsh_bucketed_topk(e, q, planes, k=10)
+
+
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-safe salted join (operators/salting.py): events fact table
+    against the customer dim, salted 8 ways; semantics identical to the
+    plain join the oracle runs."""
+    from fact_extraction_spark.operators.salting import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(ev, dim, ["user_id"], how="inner", buckets=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.round(F.sum("value"), 2).alias("total_value"),
+                 F.count("*").alias("n_events")))
+
+
 # --------------------------------------------------------------------------
 # KG operators with closed-form oracles
 # --------------------------------------------------------------------------
@@ -325,7 +401,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_knn": q_embedding_cosine_knn,
         "connected_components": q_connected_components,
         "dictionary_mentions": q_dictionary_mentions,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "language_id": q_language_id,
+        "quality_full": q_quality_full,
+        "token_counts_bpe": q_token_counts_bpe,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "salted_join_revenue": q_salted_join_revenue,
     }
+
+
+# exact all-pairs trigram Jaccard >= 0.5 — the oracle for BOTH the exact
+# operator and the MinHash+LSH path (whose banding has ~1.0 recall there)
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE n_chars > 0),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(s)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+def _SW(lang: str) -> str:
+    from fact_extraction_spark.dataops.textquality import LANG_STOPWORDS
+    return ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -485,6 +598,112 @@ def oracle_sql() -> dict[str, str]:
                        n_regionkey AS g FROM nation),
             reps AS (SELECT g, min(vertex) AS component FROM verts GROUP BY g)
             SELECT v.vertex, r.component FROM verts v JOIN reps r USING (g)
+        """,
+        "ngram_jaccard": _JACCARD_ORACLE,
+        "minhash_lsh_dedup": _JACCARD_ORACLE,
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE n_chars > 0),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+            h AS (SELECT doc_id, tf,
+                         ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                  FROM tf),
+            votes AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> j) % 2 = 1 THEN tf ELSE -tf END) AS v
+                FROM h, unnest(generate_series(0, 15)) AS u(j)
+                GROUP BY doc_id, j)
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "rolling_fingerprint": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE n_chars > 0),
+            g AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(array_to_string(
+                           list_slice(t, s, s + 3), ' ')), 1, 15))::BIGINT AS h
+                FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS u(s))
+            SELECT doc_id, min(h) AS fingerprint FROM g GROUP BY doc_id
+        """,
+        "language_id": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE n_chars > 0),
+            scores AS (
+                SELECT doc_id, lang, score FROM toks, LATERAL (
+                    VALUES
+                    ('en', len(list_filter(t, x -> lower(x) IN ({_SW('en')}))) * 1.0 / len(t)),
+                    ('de', len(list_filter(t, x -> lower(x) IN ({_SW('de')}))) * 1.0 / len(t)),
+                    ('fr', len(list_filter(t, x -> lower(x) IN ({_SW('fr')}))) * 1.0 / len(t))
+                ) AS s(lang, score)),
+            best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang DESC) AS rn
+                FROM scores)
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   round(score, 6) AS lang_score
+            FROM best WHERE rn = 1
+        """,
+        "quality_full": f"""
+            WITH base AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+                       length(trim(text)) AS chars
+                FROM documents WHERE n_chars > 0),
+            m AS (
+                SELECT doc_id, len(t) AS n,
+                       chars * 1.0 / len(t) AS mean_len,
+                       len(list_filter(t, x -> regexp_matches(x, '^[^A-Za-z0-9]+$')))
+                           * 1.0 / len(t) AS punct_ratio,
+                       len(list_filter(t, x -> lower(x) IN ({_SW('en')})))
+                           * 1.0 / len(t) AS stop_ratio
+                FROM base)
+            SELECT doc_id, n AS n_tokens,
+                   round(mean_len, 4) AS mean_token_len,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(least(1.0, greatest(0.0,
+                       0.5 * least(stop_ratio * 4, 1.0)
+                       + 0.3 * (CASE WHEN mean_len >= 3 AND mean_len <= 12
+                                     THEN 1.0 ELSE 0.0 END)
+                       + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)))), 6) AS quality
+            FROM m
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       AS n_bpe_tokens
+            FROM documents WHERE n_chars > 0
+        """,
+        "ann_lsh_bucketed": """
+            WITH p AS (
+                SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 2)),
+            b AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN list_inner_product(embedding, planes[1]) >= 0
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_inner_product(embedding, planes[2]) >= 0
+                             THEN 2 ELSE 0 END) AS bucket
+                FROM embeddings, p),
+            q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, qv), 6) AS cosine
+            FROM b, q WHERE bucket = qbucket
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "salted_join_revenue": """
+            SELECT c_mktsegment, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "dictionary_mentions": """
             WITH toks AS (
