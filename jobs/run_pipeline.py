@@ -1,0 +1,94 @@
+"""spark-submit entry point: the full KG-construction pipeline.
+
+Cluster usage (the north-rule submission path)::
+
+    python jobs/package.py
+    spark-submit --master <cluster> \
+        --py-files dist/fact_extraction_spark.zip \
+        jobs/run_pipeline.py \
+        --pages s3://corpus/pages --facts s3://kb/facts \
+        --types s3://kb/types --redirects s3://kb/redirects \
+        --out s3://kg/triples --mention-mode dictionary
+
+Local smoke (what tests/test_spark_submit.py runs)::
+
+    spark-submit --master local[4] --py-files dist/fact_extraction_spark.zip \
+        jobs/run_pipeline.py --fixture 30 --out /tmp/kg_out
+
+Inputs are parquet directories (Iceberg tables on a real cluster — swap
+``spark.read.parquet`` for ``spark.read.table``); the output is committed
+through the snapshot sink (per-partition lineage rows, resume-safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages"), p.add_argument("--facts")
+    p.add_argument("--types"), p.add_argument("--redirects")
+    p.add_argument("--known-facts", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mention-mode", default="anchors",
+                   choices=["anchors", "dictionary"])
+    p.add_argument("--articles-limit", type=int, default=0)
+    p.add_argument("--num-parts", type=int, default=32)
+    p.add_argument("--fixture", type=int, default=0,
+                   help="generate a deterministic fixture corpus of N persons "
+                        "instead of reading input tables (smoke runs)")
+    args = p.parse_args(argv)
+
+    # Import AFTER argparse so --help works without the zip on sys.path.
+    from pyspark.sql import SparkSession
+
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+    from fact_extraction_spark.sinks.snapshot import (
+        commit_partitions, with_part_id)
+
+    # Under spark-submit the master/conf come from the submitter; this only
+    # fills in defaults when run directly.
+    spark = SparkSession.builder.appName("kg_construct").getOrCreate()
+
+    exclude = None
+    if args.fixture:
+        from fact_extraction_spark.fixtures import (
+            corpus_to_dataframes, generate_corpus)
+        t = corpus_to_dataframes(spark, generate_corpus(42, args.fixture))
+        pages, facts = t["pages"], t["facts"]
+        types, redirects = t["types"], t["redirects"]
+        known = None
+        # hold out the ground-truth subjects so their pages form the
+        # discovery corpus (mirrors the train/test split of the tests)
+        exclude = t["ground_truth"]
+    else:
+        pages = spark.read.parquet(args.pages)
+        facts = spark.read.parquet(args.facts)
+        types = spark.read.parquet(args.types)
+        redirects = spark.read.parquet(args.redirects)
+        known = (spark.read.parquet(args.known_facts)
+                 if args.known_facts else None)
+
+    cfg = PipelineConfig(articles_limit=args.articles_limit,
+                         mention_mode=args.mention_mode)
+    t0 = time.time()
+    model = learn(spark, pages, facts, types, redirects, cfg,
+                  exclude_subjects=exclude)
+    triples = extract(spark, pages, model, types, redirects, cfg,
+                      known_facts=known)
+    triples = with_part_id(triples, "subj", num_parts=args.num_parts)
+    summary = commit_partitions(spark, triples, args.out, stage="triples")
+    summary["wall_sec"] = round(time.time() - t0, 2)
+    summary["n_pages"] = pages.count()
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

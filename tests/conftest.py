@@ -2,6 +2,10 @@ from __future__ import annotations
 
 import pytest
 
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
+
 from fact_extraction_spark.fixtures import generate_corpus, corpus_to_dataframes
 from fact_extraction_spark.session import get_spark
 
