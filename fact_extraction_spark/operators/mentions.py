@@ -110,6 +110,27 @@ def build_alias_table(pages: DataFrame, redirects: DataFrame) -> DataFrame:
     return identity.unionByName(rd).dropDuplicates(["alias"])
 
 
+def build_alias_candidates(pages: DataFrame, redirects: DataFrame) -> DataFrame:
+    """(alias, entity) keeping EVERY candidate entity per alias.
+
+    Same construction as ``build_alias_table`` but ambiguity-preserving: an
+    alias that is both a page title and a redirect source (or redirects to
+    several targets across case variants) yields one row per candidate. The
+    stage-2b tf-idf ranking (operators/link_ranking.py) picks the winner per
+    mention span.
+    """
+    titles = pages.select(strip_name("url").alias("title")).distinct()
+    identity = titles.select(
+        F.replace(F.col("title"), F.lit("_"), F.lit(" ")).alias("alias"),
+        capitalize_first("title").alias("entity"),
+    )
+    rd = resolve_redirects(redirects).select(
+        F.replace(F.col("alias"), F.lit("_"), F.lit(" ")).alias("alias"),
+        capitalize_first("target").alias("entity"),
+    )
+    return identity.unionByName(rd).dropDuplicates(["alias", "entity"])
+
+
 def collect_alias_broadcast(spark: SparkSession, alias_table: DataFrame):
     """Broadcast the alias dictionary as a list of (alias, entity)."""
     pairs = [(r["alias"], r["entity"]) for r in alias_table.collect()]

@@ -27,8 +27,12 @@ from fact_extraction_spark.operators.extract_text import explode_sentences, extr
 from fact_extraction_spark.operators.lexical_patterns import (
     candidate_windows, cap_training_facts, learn_lexical_patterns,
 )
+from fact_extraction_spark.operators.link_ranking import (
+    build_entity_profiles, compute_idf, disambiguate_mentions,
+)
 from fact_extraction_spark.operators.mentions import (
-    collect_redirect_map, tag_anchor_mentions,
+    build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
+    detect_dictionary_mentions, tag_anchor_mentions,
 )
 from fact_extraction_spark.operators.scoring import score_candidates
 from fact_extraction_spark.operators.type_patterns import learn_type_patterns
@@ -54,6 +58,11 @@ class PipelineConfig:
     least_threshold_words: float = 2
     least_threshold_types: float = 1
     lang: str | None = "en"
+    # "anchors": reference-parity tagging (hyperlink targets ARE the links).
+    # "dictionary": north-star stage 2 — Aho-Corasick over the broadcast
+    # alias dictionary + tf-idf context-similarity disambiguation (stage 2b).
+    mention_mode: str = "anchors"
+    max_profile_words: int = 64
 
 
 @dataclass
@@ -73,12 +82,37 @@ class LearnedModel:
         return self
 
 
-def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None) -> DataFrame:
+def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
+                   alias_bc=None, cfg: "PipelineConfig | None" = None) -> DataFrame:
     """pages → mention rows, excluding self-links (page linking itself,
-    wikipedia_pattern_extractor.py:189-192 ``res != entity``)."""
+    wikipedia_pattern_extractor.py:189-192 ``res != entity``).
+
+    With ``alias_bc`` set (mention_mode="dictionary"), runs the north-star
+    stage 2: Aho-Corasick detection over the full alias dictionary, then
+    tf-idf context-similarity disambiguation (stage 2b) with entity profiles
+    built from the trusted anchor-tagged mentions of the same pages.
+    """
     texts = extract_text(pages, lang=lang)
     sentences = explode_sentences(texts)
-    mentions = tag_anchor_mentions(sentences, redirect_map_bc)
+    if alias_bc is None:
+        mentions = tag_anchor_mentions(sentences, redirect_map_bc)
+    else:
+        # sentences feed two UDF consumers (anchor tagging for profiles +
+        # dictionary detection) — materialize once; at cluster scale this is
+        # the committed sentences table between stage 1 and stage 2.
+        sentences = sentences.persist()
+        anchor_mentions = tag_anchor_mentions(sentences, redirect_map_bc)
+        candidates = detect_dictionary_mentions(sentences, alias_bc)
+        profiles = build_entity_profiles(
+            anchor_mentions,
+            max_profile_words=(cfg.max_profile_words if cfg else 64)).persist()
+        idf = compute_idf(profiles)
+        mentions = disambiguate_mentions(candidates, profiles, idf) \
+            .drop("link_score")
+        # stage boundary: cut lineage so downstream plans don't nest the
+        # whole detection+ranking tree (on a cluster this is the committed
+        # mentions table — sinks/snapshot; locally a checkpoint)
+        mentions = mentions.localCheckpoint(eager=True)
     return mentions.filter(
         F.col("entity") != capitalize_first(strip_name("url")))
 
@@ -111,7 +145,12 @@ def learn(
     train_pages = pages.join(train_urls, "url", "left_semi")
 
     redirect_map_bc = collect_redirect_map(spark, redirects)
-    mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang)
+    alias_bc = None
+    if cfg.mention_mode == "dictionary":
+        alias_bc = collect_alias_broadcast(
+            spark, build_alias_candidates(pages, redirects))
+    mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
+                              alias_bc, cfg)
     windows = candidate_windows(mentions, window=cfg.window)
 
     learned = learn_lexical_patterns(
@@ -191,7 +230,12 @@ def extract(
     discovery = select_discovery_pages(pages, model, types, cfg)
 
     redirect_map_bc = collect_redirect_map(spark, redirects)
-    mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang)
+    alias_bc = None
+    if cfg.mention_mode == "dictionary":
+        alias_bc = collect_alias_broadcast(
+            spark, build_alias_candidates(pages, redirects))
+    mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
+                              alias_bc, cfg)
     # dead-object drop (fact_extractor.py:189-191)
     mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
     windows = candidate_windows(mentions, window=cfg.window)

@@ -1,0 +1,95 @@
+"""Stage 2b: tf-idf context-similarity candidate ranking (north star)."""
+
+from pyspark.sql import functions as F
+
+from fact_extraction_spark.operators.link_ranking import (
+    build_entity_profiles, compute_idf, mention_context_words, rank_candidates,
+)
+
+_MENTION_DDL = ("url string, sent_id int, rel_pos double, "
+                "tokens array<string>, start int, end int, "
+                "alias string, entity string")
+
+
+def _mention(url, sent_id, tokens, start, end, entity, alias=None):
+    return (url, sent_id, 0.0, tokens, start, end, alias or tokens[start], entity)
+
+
+def test_context_words_exclude_the_mention_span(spark):
+    m = spark.createDataFrame(
+        [_mention("u1", 0, ["a", "b", "c", "d"], 1, 2, "E")], _MENTION_DDL)
+    words = {r["word"] for r in mention_context_words(m).collect()}
+    assert words == {"a", "d"}
+
+
+def test_tfidf_ranking_prefers_contextually_similar_entity(spark):
+    # trusted (anchor) mentions define the two profiles
+    trusted = spark.createDataFrame([
+        _mention("p1", 0, ["the", "capital", "of", "france", "is", "paris"],
+                 5, 5, "Paris_city"),
+        _mention("p1", 1, ["the", "capital", "has", "france", "and", "paris"],
+                 5, 5, "Paris_city"),
+        _mention("p2", 0, ["paris", "was", "a", "prince", "of", "troy"],
+                 0, 0, "Paris_myth"),
+    ], _MENTION_DDL)
+    profiles = build_entity_profiles(trusted)
+    idf = compute_idf(profiles)
+
+    # ambiguous mention: context talks about capitals and france
+    cands = spark.createDataFrame([
+        _mention("d1", 0, ["paris", "has", "a", "capital", "in", "france"],
+                 0, 0, "Paris_city", alias="paris"),
+        _mention("d1", 0, ["paris", "has", "a", "capital", "in", "france"],
+                 0, 0, "Paris_myth", alias="paris"),
+    ], _MENTION_DDL)
+    best = rank_candidates(cands, profiles, idf, top_k=1).collect()
+    assert len(best) == 1
+    assert best[0]["entity"] == "Paris_city"
+    assert best[0]["link_score"] > 0
+
+
+def test_every_span_keeps_a_candidate_even_without_overlap(spark):
+    trusted = spark.createDataFrame([
+        _mention("p1", 0, ["alpha", "beta", "gamma"], 0, 0, "A"),
+    ], _MENTION_DDL)
+    profiles = build_entity_profiles(trusted)
+    idf = compute_idf(profiles)
+    cands = spark.createDataFrame([
+        _mention("d1", 0, ["zz", "qq", "ww"], 0, 0, "A", alias="zz"),
+        _mention("d1", 0, ["zz", "qq", "ww"], 0, 0, "B", alias="zz"),
+    ], _MENTION_DDL)
+    best = rank_candidates(cands, profiles, idf, top_k=1).collect()
+    assert len(best) == 1  # deterministic tie-break on entity name
+    assert best[0]["entity"] == "A"
+    assert best[0]["link_score"] == 0.0
+
+
+def test_profile_word_cap_bounds_hot_entities(spark):
+    rows = [_mention("p", i, ["w%02d" % i, "x", "hub"], 2, 2, "Hub")
+            for i in range(40)]
+    trusted = spark.createDataFrame(rows, _MENTION_DDL)
+    profiles = build_entity_profiles(trusted, max_profile_words=5)
+    assert profiles.filter(F.col("entity") == "Hub").count() == 5
+
+
+def test_dictionary_mode_end_to_end_parity(spark, tables):
+    """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the
+    same P/R bar as anchor-parity mode on the fixture corpus."""
+    from fact_extraction_spark.plans.evaluate import evaluate
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary")
+    model = learn(spark, tables["pages"], tables["facts"], tables["types"],
+                  tables["redirects"], cfg,
+                  exclude_subjects=tables["ground_truth"])
+    triples = extract(spark, tables["pages"], model, tables["types"],
+                      tables["redirects"], cfg)
+    rows = evaluate(triples, tables["ground_truth"]).collect()
+    total_right = sum(r["right"] for r in rows)
+    total_wrong = sum(r["wrong"] for r in rows)
+    total_known = sum(r["known"] for r in rows)
+    precision = total_right / max(1, total_right + total_wrong)
+    recall = total_right / max(1, total_known)
+    assert precision >= 0.9, f"dictionary-mode precision {precision}"
+    assert recall >= 0.9, f"dictionary-mode recall {recall}"
