@@ -72,18 +72,21 @@ def extract_text(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     )
 
 
-def explode_sentences(texts: DataFrame) -> DataFrame:
+def explode_sentences(texts: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """(url, text) → one row per link-bearing sentence.
 
-    Output: (url, sent_id, paragraph_idx, rel_pos, sentence, anchors).
-    ``sent_id`` is deterministic (position within the page).
+    Output: (url, sent_id, paragraph_idx, rel_pos, sentence, anchors)
+    plus any ``keep_cols`` passed through (e.g. ``warc_ts`` for the
+    streaming event-time aggregates). ``sent_id`` is deterministic
+    (position within the page).
     """
     with_sents = texts.select(
-        "url",
+        "url", *keep_cols,
         F.posexplode(extract_sentences_udf(F.col("text"))).alias("sent_id", "s"),
     )
     return with_sents.select(
         "url",
+        *keep_cols,
         "sent_id",
         F.col("s.paragraph_idx").alias("paragraph_idx"),
         F.col("s.rel_pos").alias("rel_pos"),

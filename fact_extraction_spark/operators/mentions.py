@@ -174,10 +174,12 @@ def _find_anchor_spans(tokens: list[str], anchors, redirect_map) -> list[tuple]:
     return [(s, e, ent) for s, e, ent in ac.find(tokens)]
 
 
-def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc) -> DataFrame:
+def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc,
+                        keep_cols: tuple = ()) -> DataFrame:
     """sentences(url, sent_id, rel_pos, sentence, anchors) → mention rows.
 
-    Output: (url, sent_id, rel_pos, n_tokens, start, end, entity).
+    Output: (url, sent_id, rel_pos, tokens, start, end, entity) plus any
+    ``keep_cols`` passed through.
     ``redirect_map_bc``: broadcast dict alias→final target (underscore form).
     """
     @pandas_udf(TOKENS_AND_MENTIONS_SCHEMA)
@@ -192,17 +194,17 @@ def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc) -> DataFrame:
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
 
     tagged = sentences.select(
-        "url", "sent_id", "rel_pos",
+        "url", *keep_cols, "sent_id", "rel_pos",
         _tag(F.col("sentence"), F.col("anchors")).alias("tm"),
     )
     return (
         tagged.select(
-            "url", "sent_id", "rel_pos",
+            "url", *keep_cols, "sent_id", "rel_pos",
             F.col("tm.tokens").alias("tokens"),
             F.explode(F.col("tm.mentions")).alias("m"),
         )
         .select(
-            "url", "sent_id", "rel_pos", "tokens",
+            "url", *keep_cols, "sent_id", "rel_pos", "tokens",
             F.col("m.start").alias("start"),
             F.col("m.end").alias("end"),
             F.col("m.entity").alias("entity"),
