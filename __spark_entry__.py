@@ -343,6 +343,41 @@ def q_salted_join_revenue(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def _stats_facts_types(spark, sf_dir):
+    """Derive a (facts, types) pair from events for the statistics ops:
+    subjects are users (two types each), objects are item buckets (one)."""
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(F.lit("i"), F.pmod(F.col("event_id"), F.lit(20)).cast("string"))
+        .alias("obj"))
+    users = ev.select(F.col("user_id")).distinct()
+    utypes = users.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("entity"),
+        F.concat(F.lit("ut"), F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
+        .alias("type"))
+    uxtypes = users.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("entity"),
+        F.concat(F.lit("ux"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"))
+        .alias("type"))
+    items = ev.select(
+        F.pmod(F.col("event_id"), F.lit(20)).alias("k")).distinct()
+    itypes = items.select(
+        F.concat(F.lit("i"), F.col("k").cast("string")).alias("entity"),
+        F.concat(F.lit("it"), F.pmod(F.col("k"), F.lit(4)).cast("string"))
+        .alias("type"))
+    return facts, utypes.unionByName(uxtypes).unionByName(itypes)
+
+
+def q_type_pair_independence(spark, sf_dir):
+    """§2.5 statistics: observed vs independence-expected subject-type ×
+    object-type counts per relation (types_independence.py:115-116,179-200)."""
+    from fact_extraction_spark.operators.type_stats import type_pair_independence
+    facts, types = _stats_facts_types(spark, sf_dir)
+    return type_pair_independence(facts, types)
+
+
 # --------------------------------------------------------------------------
 # KG operators with closed-form oracles
 # --------------------------------------------------------------------------
@@ -410,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "salted_join_revenue": q_salted_join_revenue,
+        "type_pair_independence": q_type_pair_independence,
     }
 
 
@@ -704,6 +740,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "type_pair_independence": """
+            WITH facts AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,
+                       event_type AS pred,
+                       'i' || CAST(event_id % 20 AS VARCHAR) AS obj
+                FROM events),
+            types AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS entity,
+                       'ut' || CAST(user_id % 3 AS VARCHAR) AS type
+                FROM (SELECT DISTINCT user_id FROM events)
+                UNION ALL
+                SELECT 'u' || CAST(user_id AS VARCHAR),
+                       'ux' || CAST(user_id % 5 AS VARCHAR)
+                FROM (SELECT DISTINCT user_id FROM events)
+                UNION ALL
+                SELECT 'i' || CAST(k AS VARCHAR),
+                       'it' || CAST(k % 4 AS VARCHAR)
+                FROM (SELECT DISTINCT event_id % 20 AS k FROM events)),
+            pairs AS (
+                SELECT pred, st.type AS stype, ot.type AS otype,
+                       count(*) AS observed
+                FROM facts f JOIN types st ON f.subj = st.entity
+                             JOIN types ot ON f.obj = ot.entity
+                GROUP BY pred, st.type, ot.type),
+            s_marg AS (SELECT pred, stype, sum(observed) AS s_cnt
+                       FROM pairs GROUP BY pred, stype),
+            o_marg AS (SELECT pred, otype, sum(observed) AS o_cnt
+                       FROM pairs GROUP BY pred, otype),
+            total AS (SELECT pred, sum(observed) AS total
+                      FROM pairs GROUP BY pred)
+            SELECT p.pred, p.stype, p.otype, p.observed,
+                   round(s_cnt * o_cnt * 1.0 / total, 6) AS expected,
+                   round(p.observed / (s_cnt * o_cnt * 1.0 / total), 6) AS lift
+            FROM pairs p JOIN s_marg USING (pred, stype)
+                         JOIN o_marg USING (pred, otype)
+                         JOIN total USING (pred)
         """,
         "dictionary_mentions": """
             WITH toks AS (

@@ -32,21 +32,32 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+CORPUS_PARTITIONS = 64  # pages file count = scan-parallelism ceiling
+
+
 def corpus_dir(sf: float) -> tuple[str, int]:
-    """Materialize (once) the KG bench corpus for this scale."""
-    n_persons = max(100, int(sf * 40000))  # sf0.1 -> 4000 persons (~4.5k pages)
-    out = f"/tmp/fx_bench_corpus_seed{BENCH_SEED}_n{n_persons}"
+    """Materialize (once) the KG bench corpus for this scale.
+    SPARK_GRAFT_BENCH_PERSONS overrides the sf-derived corpus size (the
+    scaling bench uses a larger corpus so per-task work amortizes overhead
+    at the high parallelism level)."""
+    n_persons = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_PERSONS", max(100, int(sf * 40000))))
+    out = (f"/tmp/fx_bench_corpus_seed{BENCH_SEED}_n{n_persons}"
+           f"_p{CORPUS_PARTITIONS}_d1")
     return out, n_persons
 
 
 def ensure_corpus(spark, sf: float) -> tuple[str, int]:
-    from fact_extraction_spark.fixtures import generate_corpus, write_corpus_parquet
+    """Materialize (once) the deterministic bench corpus — generated
+    DISTRIBUTED (fixtures.generate_bench_corpus) so corpus creation itself
+    scales with cores instead of serializing on the driver."""
+    from fact_extraction_spark.fixtures import generate_bench_corpus
 
     out, n_persons = corpus_dir(sf)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        fx = generate_corpus(seed=BENCH_SEED, n_persons=n_persons)
-        write_corpus_parquet(spark, fx, out)
+        generate_bench_corpus(spark, BENCH_SEED, n_persons, out,
+                              partitions=CORPUS_PARTITIONS)
         open(marker, "w").close()
     return out, n_persons
 
@@ -90,8 +101,15 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     sf = _sf_from_dir(SF_DIR)
+    # the fixture corpus is tiny on disk; stop file bin-packing from
+    # collapsing the 64 files into a couple of scan tasks (at real scale
+    # files are ~128 MiB and the default packing is correct)
     spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=int(CPUS),
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": str(1 << 20),
+                          "spark.sql.files.openCostInBytes": "0",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus, _ = ensure_corpus(spark, sf)

@@ -117,11 +117,14 @@ def learn_lexical_patterns(
     """
     fk = F.broadcast(training_facts.select(
         F.col("subj").alias("subject"), "pred", F.col("obj").alias("object")))
-    matched = windows.join(fk, ["subject", "object"])  # adds pred
+    # matched feeds two aggregates, instances three — persist both so the
+    # mention/window chain upstream executes once (fan-out hygiene)
+    matched = windows.join(fk, ["subject", "object"]).persist()  # adds pred
 
     # one row per covered sentence-extraction instance (url, sent, obj, pred)
     instances = matched.select(
-        "url", "sent_id", "rel_pos", "subject", "object", "pred").distinct()
+        "url", "sent_id", "rel_pos", "subject", "object", "pred") \
+        .distinct().persist()
 
     raw_words = matched.groupBy("pred", "slot", "word").agg(
         F.count("*").alias("freq"))
@@ -154,6 +157,36 @@ def learn_lexical_patterns(
         "pattern_types": pattern_types,
         "training_instances": instances,
     }
+
+
+def pattern_coverage(instances: DataFrame, training_facts: DataFrame) -> DataFrame:
+    """Per-relation training coverage (wikipedia_pattern_extractor.py:276-307):
+    how many of the relation's training facts produced at least one matched
+    sentence. Output: (pred, matched_facts, total_facts, coverage)."""
+    matched = (instances.select("pred",
+                                F.col("subject").alias("subj"),
+                                F.col("object").alias("obj")).distinct()
+               .groupBy("pred").agg(F.count("*").alias("matched_facts")))
+    totals = training_facts.groupBy("pred").agg(
+        F.count("*").alias("total_facts"))
+    return (totals.join(matched, "pred", "left")
+            .fillna({"matched_facts": 0})
+            .withColumn("coverage",
+                        F.col("matched_facts") / F.col("total_facts")))
+
+
+def pattern_diversity(pattern_words: DataFrame,
+                      pattern_stats: DataFrame) -> DataFrame:
+    """Per-relation diversity measure (pattern.py:53-73): mean over slots of
+    (distinct words in slot / covered sentences). High diversity = the slot
+    carries no stable lexical signal. Output: (pred, diversity)."""
+    per_slot = pattern_words.groupBy("pred", "slot").agg(
+        F.countDistinct("word").alias("distinct_words"))
+    return (per_slot.join(pattern_stats.select("pred", "covered_sentences"),
+                          "pred")
+            .withColumn("slot_diversity",
+                        F.col("distinct_words") / F.col("covered_sentences"))
+            .groupBy("pred").agg(F.avg("slot_diversity").alias("diversity")))
 
 
 def clean_pattern_words(raw_words: DataFrame, least_threshold_words: float) -> DataFrame:

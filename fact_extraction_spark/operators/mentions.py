@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType, IntegerType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
 from fact_extraction_spark.functions.uri import capitalize_first, strip_name
@@ -212,6 +212,70 @@ def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc,
     )
 
 
+FUSED_MENTIONS_SCHEMA = ArrayType(StructType([
+    StructField("sent_id", IntegerType()),
+    StructField("rel_pos", DoubleType()),
+    StructField("tokens", ArrayType(StringType())),
+    StructField("mentions", MENTION_SCHEMA),
+]))
+
+
+def fused_anchor_mentions(pages: DataFrame, redirect_map_bc,
+                          lang: str | None = "en",
+                          keep_cols: tuple = ()) -> DataFrame:
+    """pages(html) → mention rows in ONE Arrow UDF node.
+
+    Functionally identical to ``extract_text → explode_sentences →
+    tag_anchor_mentions`` (the same frozen pure functions run in the same
+    order), but the whole Python chain executes in a single python worker
+    per task instead of three chained ArrowEvalPython stages. Three chained
+    pandas UDFs each get their own PythonRunner → 3× the python processes
+    and 2 extra JVM↔Python Arrow round-trips of the full text; fusing is
+    what makes the stage scale with cores (measured 6-10× at local[32]).
+    """
+    from fact_extraction_spark.textops.wikitext import (
+        extract_article_text, extract_sentences)
+
+    @pandas_udf(FUSED_MENTIONS_SCHEMA)
+    def _fused(html: pd.Series) -> pd.Series:
+        rmap = redirect_map_bc.value
+
+        def _page(b) -> list:
+            text = extract_article_text(
+                (bytes(b) if b is not None else b"").decode(
+                    "utf-8", errors="replace"))
+            out = []
+            for sent_id, r in enumerate(extract_sentences(text)):
+                tokens = tokenize(r["sentence"] or "")
+                spans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
+                if spans:
+                    out.append((sent_id, r["rel_pos"], tokens, spans))
+            return out
+
+        return html.map(_page)
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    tagged = df.select("url", *keep_cols, _fused(F.col("html")).alias("ss"))
+    return (
+        tagged.select("url", *keep_cols, F.explode("ss").alias("s"))
+        .select(
+            "url", *keep_cols,
+            F.col("s.sent_id").alias("sent_id"),
+            F.col("s.rel_pos").alias("rel_pos"),
+            F.col("s.tokens").alias("tokens"),
+            F.explode(F.col("s.mentions")).alias("m"),
+        )
+        .select(
+            "url", *keep_cols, "sent_id", "rel_pos", "tokens",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.entity").alias("entity"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # dictionary-based detection (north star: per-executor Aho-Corasick)
 # --------------------------------------------------------------------------
@@ -262,6 +326,76 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
         )
         .select(
             "url", "sent_id", "rel_pos", "tokens",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.alias").alias("alias"),
+            F.col("m.entity").alias("entity"),
+        )
+    )
+
+
+def fused_dictionary_mentions(pages: DataFrame, alias_bc,
+                              lang: str | None = "en",
+                              keep_cols: tuple = ()) -> DataFrame:
+    """pages(html) → dictionary-candidate mention rows in ONE Arrow UDF node
+    (fused analogue of ``extract_text → explode_sentences →
+    detect_dictionary_mentions``; same per-executor automaton cache)."""
+    from fact_extraction_spark.textops.wikitext import (
+        extract_article_text, extract_sentences)
+
+    schema = ArrayType(StructType([
+        StructField("sent_id", IntegerType()),
+        StructField("rel_pos", DoubleType()),
+        StructField("tokens", ArrayType(StringType())),
+        StructField("mentions", ArrayType(StructType([
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("alias", StringType()),
+            StructField("entity", StringType()),
+        ]))),
+    ]))
+
+    @pandas_udf(schema)
+    def _fused(html: pd.Series) -> pd.Series:
+        key = id(alias_bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick.from_entries(
+                (tokenize(alias), (alias, entity))
+                for alias, entity in alias_bc.value)
+            _AC_CACHE.clear()
+            _AC_CACHE[key] = ac
+
+        def _page(b) -> list:
+            text = extract_article_text(
+                (bytes(b) if b is not None else b"").decode(
+                    "utf-8", errors="replace"))
+            out = []
+            for sent_id, r in enumerate(extract_sentences(text)):
+                tokens = tokenize(r["sentence"] or "")
+                hits = [(s, e, alias, entity)
+                        for s, e, (alias, entity) in ac.find(tokens)]
+                if hits:
+                    out.append((sent_id, r["rel_pos"], tokens, hits))
+            return out
+
+        return html.map(_page)
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    tagged = df.select("url", *keep_cols, _fused(F.col("html")).alias("ss"))
+    return (
+        tagged.select("url", *keep_cols, F.explode("ss").alias("s"))
+        .select(
+            "url", *keep_cols,
+            F.col("s.sent_id").alias("sent_id"),
+            F.col("s.rel_pos").alias("rel_pos"),
+            F.col("s.tokens").alias("tokens"),
+            F.explode(F.col("s.mentions")).alias("m"),
+        )
+        .select(
+            "url", *keep_cols, "sent_id", "rel_pos", "tokens",
             F.col("m.start").alias("start"),
             F.col("m.end").alias("end"),
             F.col("m.alias").alias("alias"),

@@ -74,26 +74,27 @@ def score_candidates(
         *CAND_KEY, "rel_pos", "n_slots").distinct()
 
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
-    all_preds = F.broadcast(pattern_stats.select("pred").distinct())
 
     # ---- reasonable-relations gate, subject and object side ----
-    def side_gate(entity_col: str) -> DataFrame:
-        typed = _gate_pairs(types, pattern_types,
-                            "subject" if entity_col == "subject" else "object")
-        typed = typed.withColumnRenamed("entity", entity_col)
-        gated = cands.join(typed, entity_col).select(*CAND_KEY, "pred")
+    # Build per-ENTITY admissible-pred sets once (entity-dimension sized),
+    # then enforce both sides with two inner joins. The earlier formulation
+    # expanded candidate×pred rows per side and intersect()ed them — a
+    # corpus-sized distinct+shuffle that dominated the scoring stage.
+    def entity_preds(entity_col: str, side: str) -> DataFrame:
+        typed = _gate_pairs(types, pattern_types, side)
+        ents = cands.select(F.col(entity_col).alias("entity")).distinct()
+        allowed = typed.join(ents, "entity", "left_semi")
         if allow_unknown_entity_types:
-            unknown = (
-                cands.join(n_types.withColumnRenamed("entity", entity_col),
-                           entity_col, "left_anti")
-                .crossJoin(all_preds)
-                .select(*CAND_KEY, "pred")
-            )
-            gated = gated.unionByName(unknown)
-        return gated
+            all_preds = F.broadcast(pattern_stats.select("pred").distinct())
+            unknown = (ents.join(n_types, "entity", "left_anti")
+                       .crossJoin(all_preds))
+            allowed = allowed.unionByName(unknown)
+        return allowed.withColumnRenamed("entity", entity_col)
 
-    pairs = side_gate("subject").intersect(side_gate("object"))
-    scored = cands.join(pairs, CAND_KEY)
+    scored = (
+        cands.join(entity_preds("subject", "subject"), "subject")
+        .join(entity_preds("object", "object"), ["object", "pred"])
+    )
 
     # ---- syntax score ----
     lw = F.broadcast(pattern_words.select("pred", "slot", "word"))

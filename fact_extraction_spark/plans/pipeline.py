@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fact_extraction_spark.functions.uri import capitalize_first, strip_name
-from fact_extraction_spark.operators.extract_text import explode_sentences, extract_text
+from fact_extraction_spark.operators.extract_text import (  # noqa: F401
+    explode_sentences, extract_text,
+)
 from fact_extraction_spark.operators.lexical_patterns import (
     candidate_windows, cap_training_facts, learn_lexical_patterns,
 )
@@ -32,7 +34,7 @@ from fact_extraction_spark.operators.link_ranking import (
 )
 from fact_extraction_spark.operators.mentions import (
     build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
-    detect_dictionary_mentions, tag_anchor_mentions,
+    fused_anchor_mentions, fused_dictionary_mentions,
 )
 from fact_extraction_spark.operators.scoring import score_candidates
 from fact_extraction_spark.operators.type_patterns import learn_type_patterns
@@ -92,17 +94,16 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
     tf-idf context-similarity disambiguation (stage 2b) with entity profiles
     built from the trusted anchor-tagged mentions of the same pages.
     """
-    texts = extract_text(pages, lang=lang)
-    sentences = explode_sentences(texts)
     if alias_bc is None:
-        mentions = tag_anchor_mentions(sentences, redirect_map_bc)
+        # ONE ArrowEvalPython node for the whole html→mentions chain: three
+        # chained pandas UDFs would each get their own python worker per
+        # task (3× processes, 2 extra Arrow round-trips of the full text)
+        # and anti-scale at high core counts (see fused_anchor_mentions)
+        mentions = fused_anchor_mentions(pages, redirect_map_bc, lang=lang)
     else:
-        # sentences feed two UDF consumers (anchor tagging for profiles +
-        # dictionary detection) — materialize once; at cluster scale this is
-        # the committed sentences table between stage 1 and stage 2.
-        sentences = sentences.persist()
-        anchor_mentions = tag_anchor_mentions(sentences, redirect_map_bc)
-        candidates = detect_dictionary_mentions(sentences, alias_bc)
+        anchor_mentions = fused_anchor_mentions(pages, redirect_map_bc,
+                                                lang=lang)
+        candidates = fused_dictionary_mentions(pages, alias_bc, lang=lang)
         profiles = build_entity_profiles(
             anchor_mentions,
             max_profile_words=(cfg.max_profile_words if cfg else 64)).persist()
@@ -151,7 +152,10 @@ def learn(
             spark, build_alias_candidates(pages, redirects))
     mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
                               alias_bc, cfg)
-    windows = candidate_windows(mentions, window=cfg.window)
+    extras = {"redirect_map_bc": redirect_map_bc, "alias_bc": alias_bc}
+    # windows feed several downstream aggregates (pattern words / stats /
+    # types); persist so the UDF chain runs once, not once per model table
+    windows = candidate_windows(mentions, window=cfg.window).persist()
 
     learned = learn_lexical_patterns(
         windows, training_facts, types,
@@ -172,7 +176,7 @@ def learn(
         type_probs=type_probs,
         rel_stats=rel_stats,
         training_subjects=training_subjects,
-        extras={"training_instances": learned["training_instances"]},
+        extras={"training_instances": learned["training_instances"], **extras},
     ).cache()
 
 
@@ -229,16 +233,23 @@ def extract(
     cfg = cfg or PipelineConfig()
     discovery = select_discovery_pages(pages, model, types, cfg)
 
-    redirect_map_bc = collect_redirect_map(spark, redirects)
-    alias_bc = None
-    if cfg.mention_mode == "dictionary":
+    # reuse the broadcasts learn() already built (redirect resolution is an
+    # iterative driver loop — a fixed serial cost worth paying exactly once)
+    redirect_map_bc = model.extras.get("redirect_map_bc") \
+        or collect_redirect_map(spark, redirects)
+    alias_bc = model.extras.get("alias_bc")
+    if cfg.mention_mode == "dictionary" and alias_bc is None:
         alias_bc = collect_alias_broadcast(
             spark, build_alias_candidates(pages, redirects))
+    if cfg.mention_mode != "dictionary":
+        alias_bc = None
     mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
                               alias_bc, cfg)
     # dead-object drop (fact_extractor.py:189-191)
     mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
-    windows = candidate_windows(mentions, window=cfg.window)
+    # scoring fans out over windows (candidate keys + slot-word matches);
+    # persist so the extraction UDF chain executes once
+    windows = candidate_windows(mentions, window=cfg.window).persist()
 
     scored = score_candidates(
         windows,

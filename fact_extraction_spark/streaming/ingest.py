@@ -20,9 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fact_extraction_spark.operators.extract_text import (
-    explode_sentences, extract_text)
-from fact_extraction_spark.operators.mentions import tag_anchor_mentions
+from fact_extraction_spark.operators.mentions import fused_anchor_mentions
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
              "lang string")
@@ -40,12 +38,11 @@ def stream_pages(spark: SparkSession, pages_dir: str,
 
 def streaming_mentions(pages: DataFrame, redirect_map_bc,
                        lang: str | None = "en") -> DataFrame:
-    """pages stream → mention rows; identical operators to the batch path
-    (operators/extract_text.py + operators/mentions.py). ``warc_ts`` rides
-    along so event-time aggregates need no stream-stream join."""
-    texts = extract_text(pages, lang=lang)
-    sentences = explode_sentences(texts, keep_cols=("warc_ts",))
-    m = tag_anchor_mentions(sentences, redirect_map_bc, keep_cols=("warc_ts",))
+    """pages stream → mention rows; the batch fused Arrow UDF reused
+    unchanged on micro-batches. ``warc_ts`` rides along so event-time
+    aggregates need no stream-stream join."""
+    m = fused_anchor_mentions(pages, redirect_map_bc, lang=lang,
+                              keep_cols=("warc_ts",))
     return m.drop("tokens")
 
 

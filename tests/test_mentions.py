@@ -78,3 +78,30 @@ def test_anchor_and_dictionary_agree_on_linked_spans(spark, tables):
     missing = anchor.join(dictm, ["url", "sent_id", "start", "end", "entity"],
                           "left_anti")
     assert missing.count() == 0
+
+
+def test_fused_anchor_equals_chained(spark, tables):
+    """The single-UDF fused path is row-identical to the 3-stage chain."""
+    from fact_extraction_spark.operators.mentions import fused_anchor_mentions
+    rmap = collect_redirect_map(spark, tables["redirects"])
+    sents = explode_sentences(extract_text(tables["pages"], lang="en"))
+    chained = tag_anchor_mentions(sents, rmap)
+    fused = fused_anchor_mentions(tables["pages"], rmap, lang="en")
+    cols = ["url", "sent_id", "rel_pos", "start", "end", "entity"]
+    a = sorted(map(tuple, chained.select(*cols).collect()))
+    b = sorted(map(tuple, fused.select(*cols).collect()))
+    assert a == b and a
+
+
+def test_fused_dictionary_equals_chained(spark, tables):
+    from fact_extraction_spark.operators.mentions import (
+        build_alias_candidates, fused_dictionary_mentions)
+    alias_bc = collect_alias_broadcast(
+        spark, build_alias_candidates(tables["pages"], tables["redirects"]))
+    sents = explode_sentences(extract_text(tables["pages"], lang="en"))
+    chained = detect_dictionary_mentions(sents, alias_bc)
+    fused = fused_dictionary_mentions(tables["pages"], alias_bc, lang="en")
+    cols = ["url", "sent_id", "rel_pos", "start", "end", "alias", "entity"]
+    a = sorted(map(tuple, chained.select(*cols).collect()))
+    b = sorted(map(tuple, fused.select(*cols).collect()))
+    assert a == b and a

@@ -143,3 +143,34 @@ def test_cap_training_facts_deterministic(spark):
     capped = cap_training_facts(facts, facts_limit=3, relation_types_limit=2)
     got = capped.groupBy("pred").count().collect()
     assert {(r["pred"], r["count"]) for r in got} == {("a", 3), ("b", 3)}
+
+
+def test_pattern_coverage_and_diversity(spark):
+    """Coverage (wikipedia_pattern_extractor.py:276-307) and diversity
+    (pattern.py:53-73) aggregates on hand-built model tables."""
+    from fact_extraction_spark.operators.lexical_patterns import (
+        pattern_coverage, pattern_diversity)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    instances = spark.createDataFrame(
+        [("u1", 0, 0.0, "A", "X", "p"), ("u1", 1, 0.5, "A", "X", "p"),
+         ("u2", 0, 0.0, "B", "Y", "p")],
+        "url string, sent_id int, rel_pos double, subject string, "
+        "object string, pred string")
+    facts = spark.createDataFrame(
+        [("A", "p", "X"), ("B", "p", "Y"), ("C", "p", "Z"), ("D", "q", "W")],
+        "subj string, pred string, obj string")
+    cov = {r["pred"]: (r["matched_facts"], r["total_facts"], r["coverage"])
+           for r in pattern_coverage(instances, facts).collect()}
+    assert cov["p"] == (2, 3, 2 / 3)
+    assert cov["q"] == (0, 1, 0.0)
+
+    words = spark.createDataFrame(
+        [("p", -1, "born", 4), ("p", -1, "raised", 2), ("p", 1, "in", 6)],
+        "pred string, slot int, word string, freq long")
+    stats = spark.createDataFrame([("p", 6, 0.2, 12)],
+                                  "pred string, covered_sentences long, "
+                                  "relative_position double, total_words long")
+    div = pattern_diversity(words, stats).first()
+    # slot -1: 2 distinct / 6 covered; slot 1: 1/6 → mean = 0.25
+    assert abs(div["diversity"] - 0.25) < 1e-9
