@@ -34,7 +34,7 @@ from fact_extraction_spark.operators.link_ranking import (
 )
 from fact_extraction_spark.operators.mentions import (
     build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
-    fused_anchor_mentions, fused_dictionary_mentions,
+    fused_anchor_mentions, fused_anchor_windows, fused_dictionary_mentions,
 )
 from fact_extraction_spark.operators.scoring import score_candidates
 from fact_extraction_spark.operators.type_patterns import learn_type_patterns
@@ -150,12 +150,21 @@ def learn(
     if cfg.mention_mode == "dictionary":
         alias_bc = collect_alias_broadcast(
             spark, build_alias_candidates(pages, redirects))
-    mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
-                              alias_bc, cfg)
     extras = {"redirect_map_bc": redirect_map_bc, "alias_bc": alias_bc}
     # windows feed several downstream aggregates (pattern words / stats /
-    # types); persist so the UDF chain runs once, not once per model table
-    windows = candidate_windows(mentions, window=cfg.window).persist()
+    # types); persist so the UDF chain runs once, not once per model table.
+    # Anchors mode takes the single-pass flat-row path (html → window rows
+    # in one mapInPandas, two fewer corpus-sized shuffles); dictionary mode
+    # needs per-sentence tokens for tf-idf ranking, so it keeps the
+    # mention-row path.
+    if cfg.mention_mode == "anchors":
+        windows = fused_anchor_windows(
+            train_pages, redirect_map_bc, lang=cfg.lang,
+            window=cfg.window).persist()
+    else:
+        mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
+                                  alias_bc, cfg)
+        windows = candidate_windows(mentions, window=cfg.window).persist()
 
     learned = learn_lexical_patterns(
         windows, training_facts, types,
@@ -243,13 +252,18 @@ def extract(
             spark, build_alias_candidates(pages, redirects))
     if cfg.mention_mode != "dictionary":
         alias_bc = None
-    mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
-                              alias_bc, cfg)
-    # dead-object drop (fact_extractor.py:189-191)
-    mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
     # scoring fans out over windows (candidate keys + slot-word matches);
-    # persist so the extraction UDF chain executes once
-    windows = candidate_windows(mentions, window=cfg.window).persist()
+    # persist so the extraction UDF chain executes once. redlink drop =
+    # fact_extractor.py:189-191.
+    if cfg.mention_mode == "anchors":
+        windows = fused_anchor_windows(
+            discovery, redirect_map_bc, lang=cfg.lang,
+            window=cfg.window, drop_redlinks=True).persist()
+    else:
+        mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
+                                  alias_bc, cfg)
+        mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
+        windows = candidate_windows(mentions, window=cfg.window).persist()
 
     scored = score_candidates(
         windows,

@@ -105,3 +105,24 @@ def test_fused_dictionary_equals_chained(spark, tables):
     a = sorted(map(tuple, chained.select(*cols).collect()))
     b = sorted(map(tuple, fused.select(*cols).collect()))
     assert a == b and a
+
+
+def test_fused_anchor_windows_equals_composed(spark, tables):
+    """The single-pass flat-window path reproduces candidate_windows over
+    the mention path exactly (incl. 50-token cap, first-span pick,
+    self-link drop, n_slots)."""
+    from fact_extraction_spark.functions.uri import capitalize_first, strip_name
+    from fact_extraction_spark.operators.lexical_patterns import candidate_windows
+    from fact_extraction_spark.operators.mentions import (
+        fused_anchor_mentions, fused_anchor_windows)
+
+    rmap = collect_redirect_map(spark, tables["redirects"])
+    mentions = fused_anchor_mentions(tables["pages"], rmap, lang="en").filter(
+        F.col("entity") != capitalize_first(strip_name("url")))
+    composed = candidate_windows(mentions, window=4)
+    fused = fused_anchor_windows(tables["pages"], rmap, lang="en", window=4)
+    cols = ["url", "sent_id", "rel_pos", "subject", "object",
+            "n_slots", "slot", "word"]
+    a = sorted(map(tuple, composed.select(*cols).collect()))
+    b = sorted(map(tuple, fused.select(*cols).collect()))
+    assert a == b and a
