@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", "3"))
 from fact_extraction_spark.session import get_spark
 from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
 
@@ -53,7 +54,7 @@ mats = [model.pattern_words, model.pattern_stats, model.pattern_types,
         model.type_probs, model.rel_stats, model.training_subjects]
 runs = []
 n = None
-for _ in range(3):
+for _ in range(REPEATS):
     spark.catalog.clearCache()
     for df in mats:
         df.cache().count()
