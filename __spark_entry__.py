@@ -651,7 +651,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM h, unnest(generate_series(0, 15)) AS u(j)
                 GROUP BY doc_id, j)
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                   -- CAST: DuckDB integer sum() yields HUGEINT, which lands
+                   -- in pandas as float64 ("123.0") and breaks the value
+                   -- hash against Spark's int64 even when values are equal
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                        AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "rolling_fingerprint": """

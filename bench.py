@@ -86,9 +86,20 @@ def run_kg_pipeline(spark, corpus: str) -> dict:
     triples = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
     n_triples = triples.count()
     extract_sec = time.time() - t1
+
+    # non-zero articles_limit run: exercises the distributed top-k discovery
+    # cap (TakeOrderedAndProject + broadcast semi-join), which a zero limit
+    # leaves dormant
+    capped_cfg = PipelineConfig(articles_limit=2000)
+    t2 = time.time()
+    capped = extract(spark, t["pages"], model, t["types"], t["redirects"],
+                     capped_cfg)
+    capped.write.format("noop").mode("overwrite").save()
+    capped_sec = time.time() - t2
     return {
         "learn_sec": learn_sec,
         "extract_sec": extract_sec,
+        "capped_extract_sec": capped_sec,
         "pages": n_pages,
         "triples": n_triples,
         "docs_per_sec": n_pages / extract_sec if extract_sec > 0 else 0.0,
@@ -120,6 +131,7 @@ def main() -> None:
     kg = run_kg_pipeline(spark, corpus)
     timings["kg_learn"] = round(kg["learn_sec"], 3)
     timings["kg_extract"] = round(kg["extract_sec"], 3)
+    timings["kg_extract_capped"] = round(kg["capped_extract_sec"], 3)
 
     heavy = [
         "agg_scan_pushdown", "join_topk", "window_running",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fact_extraction_spark.functions.uri import capitalize_first, strip_name
@@ -65,6 +65,11 @@ class PipelineConfig:
     # alias dictionary + tf-idf context-similarity disambiguation (stage 2b).
     mention_mode: str = "anchors"
     max_profile_words: int = 64
+    # Global score ordering of the extract output is presentation-layer work
+    # (the reference sorts once at print time, fact_extractor.py:208): at
+    # corpus scale a full sort is an extra all-to-all Exchange of the result,
+    # so the hot path leaves it off and sinks do sortWithinPartitions.
+    sort_output: bool = False
 
 
 @dataclass
@@ -218,9 +223,14 @@ def select_discovery_pages(
             "title", "left_anti")
         gated = gated.unionByName(untyped)
     if cfg.articles_limit:
-        w = Window.orderBy("url")
-        gated = (gated.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= cfg.articles_limit).drop("_rn"))
+        # Distributed top-k: orderBy+limit on a slim (url) projection plans
+        # as TakeOrderedAndProject (per-partition top-k, then one merge of k
+        # rows) — NOT a row_number over an unpartitioned window, which would
+        # funnel the whole discovery corpus through a single task. The kept
+        # url set is at most articles_limit rows, so the semi-join back is a
+        # broadcast.
+        keep = gated.select("url").orderBy("url").limit(cfg.articles_limit)
+        gated = gated.join(F.broadcast(keep), "url", "left_semi")
     return gated.drop("title")
 
 
@@ -235,9 +245,12 @@ def extract(
 ) -> DataFrame:
     """Run extraction over discovery pages → triples with evidence.
 
-    Output: (subj, pred, obj, score, url, sent_id, rel_pos), ordered by
-    score desc (the intent of fact_extractor.py:208 — the reference line
-    sorts by the subject's 4th character, a documented bug we fix).
+    Output: (subj, pred, obj, score, url, sent_id, rel_pos). With
+    ``cfg.sort_output`` the result is globally ordered by score desc (the
+    intent of fact_extractor.py:208 — the reference line sorts by the
+    subject's 4th character, a documented bug we fix); by default ordering
+    is left to the presentation/export layer so the hot path has no global
+    Exchange for a sort nobody consumes.
     """
     cfg = cfg or PipelineConfig()
     discovery = select_discovery_pages(pages, model, types, cfg)
@@ -276,4 +289,6 @@ def extract(
         # new-fact subtraction (pattern_recognition/fact_cleaner.py:15-25)
         scored = scored.join(known_facts.select("subj", "pred", "obj"),
                              ["subj", "pred", "obj"], "left_anti")
-    return scored.orderBy(F.desc("score"), "subj", "pred", "obj")
+    if cfg.sort_output:
+        scored = scored.orderBy(F.desc("score"), "subj", "pred", "obj")
+    return scored

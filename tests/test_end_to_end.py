@@ -10,7 +10,9 @@ from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
 
 @pytest.fixture(scope="module")
 def model_and_triples(spark, tables):
-    cfg = PipelineConfig(articles_limit=0)  # no article cap in tests
+    # no article cap; sort_output exercises the presentation-layer ordering
+    # (off by default so the scale hot path has no global sort Exchange)
+    cfg = PipelineConfig(articles_limit=0, sort_output=True)
     model = learn(spark, tables["pages"], tables["facts"], tables["types"],
                   tables["redirects"], cfg,
                   exclude_subjects=tables["ground_truth"])
@@ -57,6 +59,29 @@ def test_known_fact_subtraction(spark, tables, model_and_triples):
     overlap = new_only.join(tables["facts"], ["subj", "pred", "obj"]).count()
     assert overlap == 0
     assert new_only.count() <= triples.count()
+
+
+def test_discovery_cap_is_distributed_topk(spark, tables, model_and_triples):
+    """articles_limit plans as TakeOrderedAndProject (distributed top-k),
+    never a row_number over an unpartitioned window, and keeps exactly the
+    lexicographically-first urls."""
+    from fact_extraction_spark.plans.pipeline import select_discovery_pages
+
+    model, _ = model_and_triples
+    capped = select_discovery_pages(
+        tables["pages"], model, tables["types"], PipelineConfig(articles_limit=5))
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # no global row_number window over the discovery urls (the model lineage
+    # legitimately contains small-dim windows from cap_training_facts)
+    assert "windowspecdefinition(url" not in plan
+
+    uncapped = select_discovery_pages(
+        tables["pages"], model, tables["types"], PipelineConfig(articles_limit=0))
+    expected = sorted(r["url"]
+                      for r in uncapped.select("url").distinct().collect())[:5]
+    got = sorted(r["url"] for r in capped.select("url").distinct().collect())
+    assert got == expected
 
 
 def test_redirect_alias_objects_resolved(model_and_triples, tables):
