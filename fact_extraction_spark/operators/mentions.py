@@ -486,6 +486,195 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
     )
 
 
+# --------------------------------------------------------------------------
+# map-side dictionary detection (the documented scale fallback: bounded
+# hot-head automaton + relational n-gram join for the long tail — the full
+# alias dictionary is never collected to the driver)
+# --------------------------------------------------------------------------
+
+ALIAS_KEY_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("n_tokens", IntegerType()),
+])
+
+
+def alias_join_keys(aliases: DataFrame) -> DataFrame:
+    """aliases(alias, entity) + (key, n_tokens): the alias re-serialized in
+    frozen-tokenizer space (tokens joined by single spaces), which is the
+    exact string the sentence-side n-gram builder produces. Dimension-table
+    sized — the pandas UDF here never touches the corpus."""
+    @pandas_udf(ALIAS_KEY_SCHEMA)
+    def _key(alias: pd.Series) -> pd.DataFrame:
+        keys, counts = [], []
+        for a in alias:
+            toks = tokenize(a or "")
+            keys.append(" ".join(toks))
+            counts.append(len(toks))
+        return pd.DataFrame({"key": keys, "n_tokens": counts})
+
+    return aliases.withColumn("_k", _key(F.col("alias"))) \
+        .select("*", F.col("_k.key").alias("key"),
+                F.col("_k.n_tokens").alias("n_tokens")).drop("_k")
+
+
+def split_alias_dictionary(aliases: DataFrame, hot_k: int = 100_000,
+                           max_tail_tokens: int = 6
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Partition the alias dictionary into a bounded hot head and a
+    relational tail.
+
+    Head = every alias longer than ``max_tail_tokens`` tokens (the n-gram
+    tail path bounds its per-position explode at ``max_tail_tokens``) ∪ the
+    ``hot_k`` shortest remaining aliases (Zipf: short aliases dominate
+    corpus occurrences — swap in real per-alias frequencies from a
+    profiling pass when available). The split is per ALIAS: every candidate
+    entity of a hot alias rides along, so ambiguity is preserved on both
+    paths. Deterministic (length, alias) ordering via distributed top-k —
+    no global window, no driver collect.
+    """
+    keyed = alias_join_keys(aliases)
+    short = keyed.filter(F.col("n_tokens") <= max_tail_tokens)
+    long_head = keyed.filter(F.col("n_tokens") > max_tail_tokens)
+    hot_aliases = (short.select("alias").distinct()
+                   .orderBy(F.length("alias"), "alias").limit(hot_k))
+    head = long_head.unionByName(
+        short.join(F.broadcast(hot_aliases), "alias", "left_semi"))
+    tail = short.join(F.broadcast(hot_aliases), "alias", "left_anti")
+    return head, tail
+
+
+SENTENCE_HITS_SCHEMA = ArrayType(StructType([
+    StructField("sent_id", IntegerType()),
+    StructField("rel_pos", DoubleType()),
+    StructField("tokens", ArrayType(StringType())),
+    StructField("hits", ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("alias", StringType()),
+        StructField("entity", StringType()),
+    ]))),
+]))
+
+
+def fused_sentence_hits(pages: DataFrame, head_bc,
+                        lang: str | None = "en") -> DataFrame:
+    """pages(html) → one row per sentence: (url, sent_id, rel_pos, tokens,
+    hits) where ``hits`` are the hot-head automaton matches (possibly
+    empty — every sentence is emitted so the tail n-gram join sees the full
+    corpus). Same per-executor automaton cache as the broadcast path, but
+    the broadcast payload is the bounded head, not the full dictionary."""
+    from fact_extraction_spark.textops.wikitext import (
+        extract_article_text, extract_sentences)
+
+    @pandas_udf(SENTENCE_HITS_SCHEMA)
+    def _fused(html: pd.Series) -> pd.Series:
+        key = id(head_bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick.from_entries(
+                (tokenize(alias), (alias, entity))
+                for alias, entity in head_bc.value)
+            _AC_CACHE.clear()
+            _AC_CACHE[key] = ac
+
+        def _page(b) -> list:
+            text = extract_article_text(
+                (bytes(b) if b is not None else b"").decode(
+                    "utf-8", errors="replace"))
+            out = []
+            for sent_id, r in enumerate(extract_sentences(text)):
+                tokens = tokenize(r["sentence"] or "")
+                hits = [(s, e, alias, entity)
+                        for s, e, (alias, entity) in ac.find(tokens)]
+                out.append((sent_id, r["rel_pos"], tokens, hits))
+            return out
+
+        return html.map(_page)
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return (
+        df.select("url", _fused(F.col("html")).alias("ss"))
+        .select("url", F.explode("ss").alias("s"))
+        .select(
+            "url",
+            F.col("s.sent_id").alias("sent_id"),
+            F.col("s.rel_pos").alias("rel_pos"),
+            F.col("s.tokens").alias("tokens"),
+            F.col("s.hits").alias("hits"),
+        )
+    )
+
+
+def detect_dictionary_mentions_mapside(
+    pages: DataFrame, head_bc, tail: DataFrame,
+    lang: str | None = "en", max_tail_tokens: int = 6,
+) -> DataFrame:
+    """Dictionary mention detection without a full-dictionary collect.
+
+    Hot path: the bounded head automaton inside the fused pandas UDF.
+    Tail path: sentence n-grams (1..max_tail_tokens) built with pure column
+    algebra, pre-filtered to positions whose first token starts some tail
+    alias (broadcast semi-join), then a shuffle join against the tail alias
+    table on the tokenizer-space key — at warehouse scale that table is
+    bucketed by ``key`` so the join co-locates. Output schema matches
+    ``fused_dictionary_mentions``.
+    """
+    sent = fused_sentence_hits(pages, head_bc, lang=lang).persist()
+
+    hot = (
+        sent.filter(F.size("hits") > 0)
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.explode("hits").alias("m"))
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.col("m.start").alias("start"),
+                F.col("m.end").alias("end"),
+                F.col("m.alias").alias("alias"),
+                F.col("m.entity").alias("entity"))
+    )
+
+    tail_keyed = tail.select("alias", "entity", "key").persist()
+    first_toks = F.broadcast(
+        tail_keyed.select(F.split("key", " ")[0].alias("tok")).distinct())
+
+    # candidate positions: only where a tail alias could start
+    pos = (
+        sent.select("url", "sent_id", "tokens",
+                    F.posexplode("tokens").alias("start", "tok"))
+        .join(first_toks, "tok", "left_semi")
+    )
+    gram_structs = [
+        F.struct(
+            F.col("start").alias("start"),
+            (F.col("start") + F.lit(n - 1)).alias("end"),
+            F.concat_ws(" ", F.slice("tokens", F.col("start") + 1, n))
+            .alias("gram"),
+        )
+        for n in range(1, max_tail_tokens + 1)
+    ]
+    grams = (
+        pos.select("url", "sent_id", "start", F.size("tokens").alias("n_tok"),
+                   F.explode(F.array(*gram_structs)).alias("g"))
+        .filter(F.col("g.end") < F.col("n_tok"))
+        .select("url", "sent_id",
+                F.col("g.start").alias("start"),
+                F.col("g.end").alias("end"),
+                F.col("g.gram").alias("gram"))
+    )
+    tail_hits = (
+        grams.join(tail_keyed.withColumnRenamed("key", "gram"), "gram")
+        .drop("gram")
+        # re-attach sentence context (tokens never ride through the n-gram
+        # shuffle; hit rows are a tiny fraction of gram rows)
+        .join(sent.select("url", "sent_id", "rel_pos", "tokens"),
+              ["url", "sent_id"])
+        .select("url", "sent_id", "rel_pos", "tokens",
+                "start", "end", "alias", "entity")
+    )
+    return hot.unionByName(tail_hits)
+
+
 def collect_redirect_map(spark: SparkSession, redirects: DataFrame):
     """Broadcast {alias → final target} (underscore form, capitalized)."""
     resolved = resolve_redirects(redirects)

@@ -34,7 +34,8 @@ from fact_extraction_spark.operators.link_ranking import (
 )
 from fact_extraction_spark.operators.mentions import (
     build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
-    fused_anchor_mentions, fused_anchor_windows, fused_dictionary_mentions,
+    detect_dictionary_mentions_mapside, fused_anchor_mentions,
+    fused_anchor_windows, fused_dictionary_mentions, split_alias_dictionary,
 )
 from fact_extraction_spark.operators.scoring import score_candidates
 from fact_extraction_spark.operators.type_patterns import learn_type_patterns
@@ -65,6 +66,16 @@ class PipelineConfig:
     # alias dictionary + tf-idf context-similarity disambiguation (stage 2b).
     mention_mode: str = "anchors"
     max_profile_words: int = 64
+    # Dictionary-mode detection strategy:
+    # "mapside" (default) — bounded hot-head automaton broadcast + relational
+    #   n-gram join against the long-tail alias table; the full dictionary is
+    #   NEVER collected to the driver (at 10^7 aliases the full collect is a
+    #   multi-GB driver materialization + per-executor Python dict).
+    # "broadcast" — collect the whole dictionary into one automaton; fastest
+    #   when the dictionary is known-small (tests, bounded domains).
+    dictionary_strategy: str = "mapside"
+    dictionary_hot_k: int = 100_000      # head size (aliases, not pairs)
+    max_tail_tokens: int = 6             # n-gram bound for the tail join
     # Global score ordering of the extract output is presentation-layer work
     # (the reference sorts once at print time, fact_extractor.py:208): at
     # corpus scale a full sort is an extra all-to-all Exchange of the result,
@@ -89,17 +100,36 @@ class LearnedModel:
         return self
 
 
+def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
+                    redirects: DataFrame, cfg: "PipelineConfig") -> dict:
+    """Dictionary-mode detection context per cfg.dictionary_strategy."""
+    cands = build_alias_candidates(pages, redirects)
+    if cfg.dictionary_strategy == "broadcast":
+        return {"mode": "broadcast",
+                "alias_bc": collect_alias_broadcast(spark, cands)}
+    head, tail = split_alias_dictionary(
+        cands, hot_k=cfg.dictionary_hot_k,
+        max_tail_tokens=cfg.max_tail_tokens)
+    # the ONLY driver materialization is the bounded head (≤ hot_k aliases
+    # + the rare >max_tail_tokens ones); the tail stays a DataFrame
+    head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
+    return {"mode": "mapside", "head_bc": head_bc,
+            "tail": tail.select("alias", "entity", "key").persist()}
+
+
 def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
-                   alias_bc=None, cfg: "PipelineConfig | None" = None) -> DataFrame:
+                   dict_ctx: dict | None = None,
+                   cfg: "PipelineConfig | None" = None) -> DataFrame:
     """pages → mention rows, excluding self-links (page linking itself,
     wikipedia_pattern_extractor.py:189-192 ``res != entity``).
 
-    With ``alias_bc`` set (mention_mode="dictionary"), runs the north-star
-    stage 2: Aho-Corasick detection over the full alias dictionary, then
+    With ``dict_ctx`` set (mention_mode="dictionary"), runs the north-star
+    stage 2: Aho-Corasick detection over the alias dictionary (full
+    broadcast or hot-head + relational tail, per dict_ctx["mode"]), then
     tf-idf context-similarity disambiguation (stage 2b) with entity profiles
     built from the trusted anchor-tagged mentions of the same pages.
     """
-    if alias_bc is None:
+    if dict_ctx is None:
         # ONE ArrowEvalPython node for the whole html→mentions chain: three
         # chained pandas UDFs would each get their own python worker per
         # task (3× processes, 2 extra Arrow round-trips of the full text)
@@ -108,7 +138,13 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
     else:
         anchor_mentions = fused_anchor_mentions(pages, redirect_map_bc,
                                                 lang=lang)
-        candidates = fused_dictionary_mentions(pages, alias_bc, lang=lang)
+        if dict_ctx["mode"] == "broadcast":
+            candidates = fused_dictionary_mentions(
+                pages, dict_ctx["alias_bc"], lang=lang)
+        else:
+            candidates = detect_dictionary_mentions_mapside(
+                pages, dict_ctx["head_bc"], dict_ctx["tail"], lang=lang,
+                max_tail_tokens=(cfg.max_tail_tokens if cfg else 6))
         profiles = build_entity_profiles(
             anchor_mentions,
             max_profile_words=(cfg.max_profile_words if cfg else 64)).persist()
@@ -151,11 +187,10 @@ def learn(
     train_pages = pages.join(train_urls, "url", "left_semi")
 
     redirect_map_bc = collect_redirect_map(spark, redirects)
-    alias_bc = None
+    dict_ctx = None
     if cfg.mention_mode == "dictionary":
-        alias_bc = collect_alias_broadcast(
-            spark, build_alias_candidates(pages, redirects))
-    extras = {"redirect_map_bc": redirect_map_bc, "alias_bc": alias_bc}
+        dict_ctx = _build_dict_ctx(spark, pages, redirects, cfg)
+    extras = {"redirect_map_bc": redirect_map_bc, "dict_ctx": dict_ctx}
     # windows feed several downstream aggregates (pattern words / stats /
     # types); persist so the UDF chain runs once, not once per model table.
     # Anchors mode takes the single-pass flat-row path (html → window rows
@@ -168,7 +203,7 @@ def learn(
             window=cfg.window).persist()
     else:
         mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
-                                  alias_bc, cfg)
+                                  dict_ctx, cfg)
         windows = candidate_windows(mentions, window=cfg.window).persist()
 
     learned = learn_lexical_patterns(
@@ -259,12 +294,11 @@ def extract(
     # iterative driver loop — a fixed serial cost worth paying exactly once)
     redirect_map_bc = model.extras.get("redirect_map_bc") \
         or collect_redirect_map(spark, redirects)
-    alias_bc = model.extras.get("alias_bc")
-    if cfg.mention_mode == "dictionary" and alias_bc is None:
-        alias_bc = collect_alias_broadcast(
-            spark, build_alias_candidates(pages, redirects))
+    dict_ctx = model.extras.get("dict_ctx")
+    if cfg.mention_mode == "dictionary" and dict_ctx is None:
+        dict_ctx = _build_dict_ctx(spark, pages, redirects, cfg)
     if cfg.mention_mode != "dictionary":
-        alias_bc = None
+        dict_ctx = None
     # scoring fans out over windows (candidate keys + slot-word matches);
     # persist so the extraction UDF chain executes once. redlink drop =
     # fact_extractor.py:189-191.
@@ -274,7 +308,7 @@ def extract(
             window=cfg.window, drop_redlinks=True).persist()
     else:
         mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
-                                  alias_bc, cfg)
+                                  dict_ctx, cfg)
         mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
         windows = candidate_windows(mentions, window=cfg.window).persist()
 

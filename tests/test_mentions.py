@@ -126,3 +126,59 @@ def test_fused_anchor_windows_equals_composed(spark, tables):
     a = sorted(map(tuple, composed.select(*cols).collect()))
     b = sorted(map(tuple, fused.select(*cols).collect()))
     assert a == b and a
+
+
+# --------------------------------------------------------------------------
+# map-side dictionary detection (bounded head + relational tail)
+# --------------------------------------------------------------------------
+
+def test_split_alias_dictionary_partitions_by_alias(spark, tables):
+    from fact_extraction_spark.operators.mentions import (
+        build_alias_candidates, split_alias_dictionary)
+
+    cands = build_alias_candidates(tables["pages"], tables["redirects"])
+    head, tail = split_alias_dictionary(cands, hot_k=5, max_tail_tokens=3)
+    full = {(r["alias"], r["entity"]) for r in cands.collect()}
+    h = {(r["alias"], r["entity"]) for r in head.collect()}
+    t = {(r["alias"], r["entity"]) for r in tail.collect()}
+    assert h | t == full          # nothing lost
+    assert not (h & t)            # nothing duplicated
+    # split is per alias: no alias appears on both sides
+    assert not ({a for a, _ in h} & {a for a, _ in t})
+    # every >max_tail_tokens alias lives in the head (the n-gram join can't
+    # see longer grams)
+    from fact_extraction_spark.textops.tokenizer import tokenize
+    assert all(len(tokenize(a)) <= 3 for a, _ in t)
+    # tail join keys are in frozen-tokenizer space
+    for r in tail.collect():
+        assert r["key"] == " ".join(tokenize(r["alias"]))
+
+
+def test_mapside_dictionary_detection_equals_broadcast(spark, tables):
+    """The documented scale fallback (hot-head automaton + n-gram tail join)
+    emits exactly the broadcast path's mention rows (mentions.py module
+    docstring contract)."""
+    from fact_extraction_spark.operators.mentions import (
+        build_alias_candidates, collect_alias_broadcast,
+        detect_dictionary_mentions_mapside, fused_dictionary_mentions,
+        split_alias_dictionary)
+
+    pages = tables["pages"]
+    cands = build_alias_candidates(pages, tables["redirects"])
+
+    full_bc = collect_alias_broadcast(spark, cands)
+    want = {(r["url"], r["sent_id"], r["start"], r["end"],
+             r["alias"], r["entity"])
+            for r in fused_dictionary_mentions(pages, full_bc,
+                                               lang=None).collect()}
+
+    # tiny hot_k so the tail path carries real weight
+    head, tail = split_alias_dictionary(cands, hot_k=3, max_tail_tokens=6)
+    head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
+    got_rows = detect_dictionary_mentions_mapside(
+        pages, head_bc, tail, lang=None, max_tail_tokens=6).collect()
+    got = {(r["url"], r["sent_id"], r["start"], r["end"],
+            r["alias"], r["entity"]) for r in got_rows}
+    assert got == want
+    # tokens context rides along on both paths (link ranking needs it)
+    assert all(r["tokens"] for r in got_rows)
