@@ -200,6 +200,52 @@ def q_nt_roundtrip(spark, sf_dir):
             .filter(~F.col("subj").contains("__")))
 
 
+def q_nt_clean_types(spark, sf_dir):
+    """§2.2 setup ETL (nt_cleaner.py:20-44 semantics): NT type dump →
+    types(entity, type) with predicate filter + type-URI abbreviation
+    (owl#→owl, Wikicat→W, Yago→Y) + name stripping; exercised over
+    constructed lines incl. a non-type predicate, a malformed line and a
+    ``__`` subject (all dropped)."""
+    from fact_extraction_spark.sources.setup_etl import (
+        TYPE_RELATION, clean_nt)
+
+    n = _t(spark, sf_dir, "nation")
+
+    def line(pred: str, obj):
+        return F.concat(F.lit("<http://dbpedia.org/resource/"),
+                        F.col("n_name"), F.lit("> <"), F.lit(pred),
+                        F.lit("> <"), obj, F.lit("> ."))
+
+    shapes = [
+        (TYPE_RELATION,
+         F.concat(F.lit("http://dbpedia.org/class/yago/Wikicat"),
+                  F.col("n_name"), F.lit("Persons"))),
+        (TYPE_RELATION, F.lit("http://www.w3.org/2002/07/owl#Thing")),
+        (TYPE_RELATION,
+         F.concat(F.lit("http://dbpedia.org/class/yago/YagoLegalActor"),
+                  F.col("n_regionkey").cast("string"))),
+        ("http://dbpedia.org/ontology/wikiPageRedirects",
+         F.lit("http://dbpedia.org/resource/Other")),
+    ]
+    lines = None
+    for pred, obj in shapes:
+        part = n.select(line(pred, obj).alias("value"))
+        lines = part if lines is None else lines.unionByName(part)
+    junk = spark.createDataFrame(
+        [("<a> <b> .",),
+         (f"<x__y> <{TYPE_RELATION}> <t> .",)], "value string")
+    lines = lines.unionByName(junk)
+
+    uris = lines.select(
+        F.regexp_extract_all("value", F.lit(r"<([^>]+)>"), 1).alias("u"))
+    facts = (uris.filter(F.size("u") == 3)
+             .select(F.col("u")[0].alias("subj"),
+                     F.col("u")[1].alias("pred"),
+                     F.col("u")[2].alias("obj"))
+             .filter(~F.col("subj").contains("__")))
+    return clean_nt(facts, [TYPE_RELATION], ("entity", "type"))
+
+
 # --------------------------------------------------------------------------
 # training-data-pipeline extras over documents / embeddings
 # --------------------------------------------------------------------------
@@ -280,7 +326,32 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     output equals the exact all-pairs oracle."""
     from fact_extraction_spark.dataops.dedup import minhash_lsh_pairs
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
+    # max_shingle_df defaulted ON in callers: a no-op on this corpus (max
+    # shingle df is single-digit at sf0.01) but the boilerplate/skew guard
+    # is the production posture; see q_minhash_lsh_guarded for the active
+    # case.
+    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5,
+                             max_shingle_df=100)
+
+
+# the skew bomb: one suffix shared by EVERY document — its shingles have
+# df = |corpus| and would put all documents into the same LSH buckets
+_BOILERPLATE = (" share buttons subscribe to our newsletter all rights"
+                " reserved privacy policy terms of service")
+
+
+def q_minhash_lsh_guarded(spark, sf_dir):
+    """MinHash+LSH with the max_shingle_df skew guard ACTIVE: every document
+    carries an injected boilerplate suffix (df = full corpus). The guard
+    drops those shingles before hashing — bucket sizes stay bounded instead
+    of one bucket holding the whole corpus — and the emitted pairs carry
+    Jaccard over the guarded shingle sets (the oracle models the same
+    guard)."""
+    from fact_extraction_spark.dataops.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    d = d.withColumn("text", F.concat(F.col("text"), F.lit(_BOILERPLATE)))
+    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5,
+                             max_shingle_df=50)
 
 
 def q_simhash(spark, sf_dir):
@@ -428,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_type_probability": q_weighted_type_probability,
         "set_except": q_set_except,
         "nt_roundtrip": q_nt_roundtrip,
+        "nt_clean_types": q_nt_clean_types,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "lang_stopword_ratio": q_lang_stopword_ratio,
@@ -438,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_mentions": q_dictionary_mentions,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "minhash_lsh_guarded": q_minhash_lsh_guarded,
         "simhash": q_simhash,
         "rolling_fingerprint": q_rolling_fingerprint,
         "language_id": q_language_id,
@@ -582,6 +655,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT u[1] AS subj, u[2] AS pred, u[3] AS obj FROM parsed
             WHERE len(u) = 3 AND u[1] NOT LIKE '%\\_\\_%' ESCAPE '\\'
         """,
+        "nt_clean_types": """
+            WITH lines AS (
+                SELECT '<http://dbpedia.org/resource/' || n_name
+                       || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                       || ' <http://dbpedia.org/class/yago/Wikicat' || n_name
+                       || 'Persons> .' AS value FROM nation
+                UNION ALL
+                SELECT '<http://dbpedia.org/resource/' || n_name
+                       || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                       || ' <http://www.w3.org/2002/07/owl#Thing> .' FROM nation
+                UNION ALL
+                SELECT '<http://dbpedia.org/resource/' || n_name
+                       || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                       || ' <http://dbpedia.org/class/yago/YagoLegalActor'
+                       || n_regionkey || '> .' FROM nation
+                UNION ALL
+                SELECT '<http://dbpedia.org/resource/' || n_name
+                       || '> <http://dbpedia.org/ontology/wikiPageRedirects>'
+                       || ' <http://dbpedia.org/resource/Other> .' FROM nation
+                UNION ALL SELECT '<a> <b> .'
+                UNION ALL SELECT
+                  '<x__y> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <t> .'),
+            parsed AS (
+                SELECT regexp_extract_all(value, '<([^>]+)>', 1) AS u FROM lines),
+            facts AS (
+                SELECT u[1] AS subj, u[2] AS pred, u[3] AS obj FROM parsed
+                WHERE len(u) = 3 AND u[1] NOT LIKE '%\\_\\_%' ESCAPE '\\')
+            SELECT string_split(subj, '/')[-1] AS entity,
+                   string_split(replace(replace(replace(obj, 'owl#', 'owl'),
+                                                'Wikicat', 'W'),
+                                        'Yago', 'Y'), '/')[-1] AS type
+            FROM facts
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS dup_count,
                    min(doc_id) AS keeper_doc_id
@@ -637,6 +744,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _JACCARD_ORACLE,
+        "minhash_lsh_guarded": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text || '{_BOILERPLATE}'),
+                                          '\\s+') AS t
+                FROM documents WHERE n_chars > 0),
+            sh0 AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(t, s, s + 2), ' ') AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(s)),
+            df AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY shingle),
+            sh AS (SELECT sh0.doc_id, sh0.shingle
+                   FROM sh0 JOIN df USING (shingle) WHERE c <= 50),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                       JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+        """,
         "simhash": """
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -31,11 +31,14 @@ DEFAULT_WINDOW = 4         # lexical analogue of BFS depth=2 (pattern_extractor.
 
 
 def candidate_windows(mentions: DataFrame, window: int = DEFAULT_WINDOW) -> DataFrame:
-    """mentions → one row per (mention, slot) context word.
+    """mentions → ONE row per candidate with nested slot words.
 
     Input: (url, sent_id, rel_pos, tokens, start, end, entity).
-    Output: (url, sent_id, rel_pos, subject, object, n_slots, slot, word)
-    where ``subject`` is the page title and ``object`` the mention entity.
+    Output: (url, sent_id, rel_pos, subject, object, n_slots,
+    slots: array<struct<slot, word>>) where ``subject`` is the page title
+    and ``object`` the mention entity — the same nested contract as
+    ``mentions.fused_anchor_windows`` (one row per candidate keeps the
+    url/subject/object strings off the wire 2·window times over).
     The mention's own tokens are never window words (they are the pattern
     "root", which the reference clears before scoring, pattern.py:214).
     """
@@ -51,21 +54,23 @@ def candidate_windows(mentions: DataFrame, window: int = DEFAULT_WINDOW) -> Data
         .withColumn("subject", capitalize_first(strip_name("url")))
         .withColumnRenamed("entity", "object")
     )
-    spread = base.select(
-        "url", "sent_id", "rel_pos", "subject", "object", "start", "end", "tokens",
-        F.explode(F.array(*[F.lit(o) for o in offsets])).alias("slot"),
+    # nested slot words: for each offset, the token at start+o (o<0) or
+    # end+o (o>0) when in range — pure column algebra, no explode
+    n_tok = F.size("tokens")
+    slot_structs = []
+    for o in offsets:
+        pos = (F.col("start") + o) if o < 0 else (F.col("end") + o)
+        word = F.when((pos >= 0) & (pos < n_tok),
+                      F.element_at("tokens", pos + 1))
+        slot_structs.append(F.when(word.isNotNull(), F.struct(
+            F.lit(o).alias("slot"), word.alias("word"))))
+    slots = F.filter(F.array(*slot_structs), lambda s: s.isNotNull())
+    return (
+        base.withColumn("slots", slots)
+        .withColumn("n_slots", F.size("slots"))
+        .select("url", "sent_id", "rel_pos", "subject", "object",
+                "n_slots", "slots")
     )
-    pos = F.when(F.col("slot") < 0, F.col("start") + F.col("slot")) \
-        .otherwise(F.col("end") + F.col("slot"))
-    with_words = (
-        spread.withColumn("pos", pos)
-        .filter((F.col("pos") >= 0) & (F.col("pos") < F.size("tokens")))
-        .withColumn("word", F.element_at("tokens", F.col("pos") + 1))
-        .drop("pos", "tokens", "start", "end")
-    )
-    # n_slots = candidate pattern size (filled slots), needed by the scorer
-    n_slots = Window.partitionBy("url", "sent_id", "subject", "object")
-    return with_words.withColumn("n_slots", F.count("*").over(n_slots))
 
 
 def cap_training_facts(
@@ -126,8 +131,12 @@ def learn_lexical_patterns(
         "url", "sent_id", "rel_pos", "subject", "object", "pred") \
         .distinct().persist()
 
-    raw_words = matched.groupBy("pred", "slot", "word").agg(
-        F.count("*").alias("freq"))
+    raw_words = (
+        matched.select("pred", F.explode("slots").alias("s"))
+        .groupBy("pred", F.col("s.slot").alias("slot"),
+                 F.col("s.word").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
     pattern_words = clean_pattern_words(raw_words, least_threshold_words)
 
     totals = pattern_words.groupBy("pred").agg(F.sum("freq").alias("total_words"))

@@ -336,7 +336,13 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
 
 WINDOW_ROWS_DDL = ("url string, sent_id int, rel_pos double, "
                    "subject string, object string, n_slots int, "
-                   "slot int, word string")
+                   "slots array<struct<slot: int, word: string>>")
+
+# unresolved-span variant (redirect_strategy="join"): raw href entity plus
+# the span, so resolution/dedup can happen relationally downstream
+SPAN_ROWS_DDL = ("url string, sent_id int, rel_pos double, "
+                 "subject string, raw_entity string, start int, end int, "
+                 "n_slots int, slots array<struct<slot: int, word: string>>")
 
 
 def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
@@ -344,23 +350,26 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
                          window: int = 4,
                          max_sentence_tokens: int = 50,
                          drop_redlinks: bool = False) -> DataFrame:
-    """pages(html) → FLAT candidate-window rows in one mapInPandas pass.
+    """pages(html) → ONE candidate row per mention in one mapInPandas pass.
 
     Fuses ``fused_anchor_mentions`` + ``lexical_patterns.candidate_windows``:
     per page (pure Python, trivially cheap — ~0.14 ms/page), it extracts
     text, splits sentences, tags anchors, picks the first span per
     (sentence, entity), applies the 50-token cap and self-link filter, and
-    emits one flat row per (mention, slot word).
+    emits one row per candidate with the slot words NESTED
+    (``slots: array<struct<slot, word>>``).
 
-    Why: profiling showed the nested-Arrow mention schema plus the two
-    corpus-sized window shuffles in candidate_windows (first-span
-    row_number + n_slots count) cost ~6× the actual per-page Python work.
-    Flat columns make the Arrow transfer cheap and the downstream plan
-    starts AT the window rows — two fewer shuffles of the widest table.
+    Why nested: the corpus-wide cost is memory bandwidth, not the per-page
+    Python. A flat row per (mention, slot word) repeats the url / subject /
+    object strings ~2·window times per candidate — measured as ~1.3×
+    task-time inflation at high core counts on the Arrow transfer, the
+    persist and every downstream shuffle. One nested row per candidate is
+    also unique BY CONSTRUCTION, so the scorer's candidate table needs no
+    corpus-wide distinct.
 
-    Output matches candidate_windows' schema/semantics exactly
-    (equivalence-tested); ``subject`` is the page title (capitalize hotfix),
-    slots are -window..window excluding 0.
+    Semantics are candidate_windows' exactly (equivalence-tested);
+    ``subject`` is the page title (capitalize hotfix), slots are
+    -window..window excluding 0.
     """
     from fact_extraction_spark.textops.wikitext import (
         extract_article_text, extract_sentences)
@@ -371,7 +380,7 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
         rmap = redirect_map_bc.value
         for pdf in it:
             out = {k: [] for k in ("url", "sent_id", "rel_pos", "subject",
-                                   "object", "n_slots", "slot", "word")}
+                                   "object", "n_slots", "slots")}
             for url, raw in zip(pdf["url"], pdf["html"]):
                 title = _capitalize(url.split("/")[-1])
                 text = extract_article_text(
@@ -397,16 +406,13 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
                             pos = s + o if o < 0 else e + o
                             if 0 <= pos < n_tok:
                                 slot_words.append((o, tokens[pos]))
-                        n_slots = len(slot_words)
-                        for o, w in slot_words:
-                            out["url"].append(url)
-                            out["sent_id"].append(sent_id)
-                            out["rel_pos"].append(r["rel_pos"])
-                            out["subject"].append(title)
-                            out["object"].append(ent)
-                            out["n_slots"].append(n_slots)
-                            out["slot"].append(o)
-                            out["word"].append(w)
+                        out["url"].append(url)
+                        out["sent_id"].append(sent_id)
+                        out["rel_pos"].append(r["rel_pos"])
+                        out["subject"].append(title)
+                        out["object"].append(ent)
+                        out["n_slots"].append(len(slot_words))
+                        out["slots"].append(slot_words)
             yield pd.DataFrame(out)
 
     df = pages
@@ -414,6 +420,120 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
         df = df.filter(F.col("lang") == lang)
     return df.select("url", "html").mapInPandas(_batches,
                                                 schema=WINDOW_ROWS_DDL)
+
+
+def fused_anchor_spans(pages: DataFrame,
+                       lang: str | None = "en",
+                       window: int = 4,
+                       max_sentence_tokens: int = 50,
+                       drop_redlinks: bool = False) -> DataFrame:
+    """pages(html) → UNRESOLVED candidate spans (redirect_strategy="join").
+
+    Same single-pass extraction as ``fused_anchor_windows`` but with no
+    redirect dictionary in the UDF at all: entities are the raw href
+    targets (capitalize hotfix applied) and each row carries its token
+    span, so redirect resolution, first-span dedup and the self-link drop
+    happen relationally downstream (``anchor_windows_relational``). This is
+    the zero-driver-state path: nothing is collected to the driver, and
+    Catalyst picks broadcast vs shuffle for the resolution join by the
+    redirect table's actual size.
+    """
+    from fact_extraction_spark.textops.wikitext import (
+        extract_article_text, extract_sentences)
+
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+
+    def _batches(it):
+        for pdf in it:
+            out = {k: [] for k in ("url", "sent_id", "rel_pos", "subject",
+                                   "raw_entity", "start", "end", "n_slots",
+                                   "slots")}
+            for url, raw in zip(pdf["url"], pdf["html"]):
+                title = _capitalize(url.split("/")[-1])
+                text = extract_article_text(
+                    (bytes(raw) if raw is not None else b"").decode(
+                        "utf-8", errors="replace"))
+                for sent_id, r in enumerate(extract_sentences(text)):
+                    tokens = tokenize(r["sentence"] or "")
+                    n_tok = len(tokens)
+                    if n_tok > max_sentence_tokens:
+                        continue
+                    spans = _find_anchor_spans(tokens, list(r["anchors"]),
+                                               {})  # no resolution here
+                    first = {}
+                    for s, e, ent in sorted(spans):
+                        if ent not in first:
+                            first[ent] = (s, e)
+                    for ent, (s, e) in first.items():
+                        if drop_redlinks and "redlink=1" in ent:
+                            continue
+                        slot_words = []
+                        for o in offsets:
+                            pos = s + o if o < 0 else e + o
+                            if 0 <= pos < n_tok:
+                                slot_words.append((o, tokens[pos]))
+                        out["url"].append(url)
+                        out["sent_id"].append(sent_id)
+                        out["rel_pos"].append(r["rel_pos"])
+                        out["subject"].append(title)
+                        out["raw_entity"].append(ent)
+                        out["start"].append(s)
+                        out["end"].append(e)
+                        out["n_slots"].append(len(slot_words))
+                        out["slots"].append(slot_words)
+            yield pd.DataFrame(out)
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.select("url", "html").mapInPandas(_batches,
+                                                schema=SPAN_ROWS_DDL)
+
+
+def anchor_windows_relational(pages: DataFrame, redirects: DataFrame,
+                              lang: str | None = "en",
+                              window: int = 4,
+                              max_sentence_tokens: int = 50,
+                              drop_redlinks: bool = False) -> DataFrame:
+    """``fused_anchor_windows`` semantics with redirect resolution as a
+    JOIN instead of a per-executor Python dict.
+
+    Steps: unresolved spans → left join the resolved redirect table on the
+    raw entity (object = coalesce(final_target, raw)) → first-span dedup
+    per (sentence, resolved entity) via min_by (two aliases resolving to
+    the same target keep the earliest span — identical to resolving before
+    the dedup) → self-link drop on the RESOLVED entity. One extra shuffle
+    keyed by the candidate; in exchange the driver never materializes the
+    redirect map and the join side scales past broadcast size (Catalyst
+    chooses broadcast vs shuffle by table size).
+
+    Row-identical to ``fused_anchor_windows`` (equivalence-tested).
+    """
+    spans = fused_anchor_spans(pages, lang=lang, window=window,
+                               max_sentence_tokens=max_sentence_tokens,
+                               drop_redlinks=drop_redlinks)
+    resolved = resolve_redirects(redirects).select(
+        capitalize_first("alias").alias("raw_entity"),
+        capitalize_first("target").alias("_target"))
+    joined = (
+        spans.join(resolved, "raw_entity", "left")
+        .withColumn("object", F.coalesce("_target", "raw_entity"))
+        .drop("_target", "raw_entity")
+    )
+    deduped = (
+        joined.groupBy("url", "sent_id", "subject", "object")
+        .agg(F.min_by(
+            F.struct("rel_pos", "n_slots", "slots"),
+            F.struct("start", "end")).alias("w"))
+        .select("url", "sent_id",
+                F.col("w.rel_pos").alias("rel_pos"),
+                "subject", "object",
+                F.col("w.n_slots").alias("n_slots"),
+                F.col("w.slots").alias("slots"))
+    )
+    return (deduped.filter(F.col("object") != F.col("subject"))
+            .select("url", "sent_id", "rel_pos", "subject", "object",
+                    "n_slots", "slots"))
 
 
 def fused_dictionary_mentions(pages: DataFrame, alias_bc,

@@ -70,8 +70,9 @@ def score_candidates(
     ``windows`` comes from ``lexical_patterns.candidate_windows`` over
     discovery pages. All learned tables are broadcast dims.
     """
-    cands = windows.select(
-        *CAND_KEY, "rel_pos", "n_slots").distinct()
+    # windows hold ONE nested row per candidate (unique by construction in
+    # fused_anchor_windows / candidate_windows) — no corpus-wide distinct
+    cands = windows.select(*CAND_KEY, "rel_pos", "n_slots")
 
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
 
@@ -99,7 +100,10 @@ def score_candidates(
     # ---- syntax score ----
     lw = F.broadcast(pattern_words.select("pred", "slot", "word"))
     matches = (
-        windows.join(lw, ["slot", "word"])
+        windows.select(*CAND_KEY, F.explode("slots").alias("s"))
+        .select(*CAND_KEY, F.col("s.slot").alias("slot"),
+                F.col("s.word").alias("word"))
+        .join(lw, ["slot", "word"])
         .groupBy(*CAND_KEY, "pred")
         .agg(F.count("*").alias("matches"))
     )

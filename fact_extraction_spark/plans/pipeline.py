@@ -33,7 +33,8 @@ from fact_extraction_spark.operators.link_ranking import (
     build_entity_profiles, compute_idf, disambiguate_mentions,
 )
 from fact_extraction_spark.operators.mentions import (
-    build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
+    anchor_windows_relational, build_alias_candidates,
+    collect_alias_broadcast, collect_redirect_map,
     detect_dictionary_mentions_mapside, fused_anchor_mentions,
     fused_anchor_windows, fused_dictionary_mentions, split_alias_dictionary,
 )
@@ -76,6 +77,20 @@ class PipelineConfig:
     dictionary_strategy: str = "mapside"
     dictionary_hot_k: int = 100_000      # head size (aliases, not pairs)
     max_tail_tokens: int = 6             # n-gram bound for the tail join
+    # Anchors-mode redirect resolution:
+    # "broadcast" (default) — match-time Python dict from a bounded
+    #   driver collect; fastest while the redirect table fits comfortably.
+    # "join" — zero driver state: the UDF emits unresolved spans and
+    #   resolution/dedup/self-link happen relationally (Catalyst picks
+    #   broadcast vs shuffle by the redirect table's size). Use at
+    #   dictionary sizes where a per-executor Python dict stops being sane.
+    redirect_strategy: str = "broadcast"
+    # config-default.ini:19 — 0 means learn type patterns over ALL facts
+    type_learner_facts_limit: int = 0
+    # config-default.ini:8; the reference's invariant asserts guard a
+    # pattern TREE (pattern.py:144-155) — the monoid groupBy merge has no
+    # tree to validate, so the flag is parsed for parity but inert
+    perform_tests: bool = False
     # Global score ordering of the extract output is presentation-layer work
     # (the reference sorts once at print time, fact_extractor.py:208): at
     # corpus scale a full sort is an extra all-to-all Exchange of the result,
@@ -186,21 +201,28 @@ def learn(
         F.concat(F.lit("https://en.wikipedia.org/wiki/"), F.col("subj")).alias("url"))
     train_pages = pages.join(train_urls, "url", "left_semi")
 
-    redirect_map_bc = collect_redirect_map(spark, redirects)
+    redirect_map_bc = None
+    if cfg.mention_mode != "anchors" or cfg.redirect_strategy == "broadcast":
+        redirect_map_bc = collect_redirect_map(spark, redirects)
     dict_ctx = None
     if cfg.mention_mode == "dictionary":
         dict_ctx = _build_dict_ctx(spark, pages, redirects, cfg)
     extras = {"redirect_map_bc": redirect_map_bc, "dict_ctx": dict_ctx}
     # windows feed several downstream aggregates (pattern words / stats /
     # types); persist so the UDF chain runs once, not once per model table.
-    # Anchors mode takes the single-pass flat-row path (html → window rows
-    # in one mapInPandas, two fewer corpus-sized shuffles); dictionary mode
-    # needs per-sentence tokens for tf-idf ranking, so it keeps the
+    # Anchors mode takes the single-pass nested-row path (html → candidate
+    # rows in one mapInPandas, two fewer corpus-sized shuffles); dictionary
+    # mode needs per-sentence tokens for tf-idf ranking, so it keeps the
     # mention-row path.
     if cfg.mention_mode == "anchors":
-        windows = fused_anchor_windows(
-            train_pages, redirect_map_bc, lang=cfg.lang,
-            window=cfg.window).persist()
+        if cfg.redirect_strategy == "join":
+            windows = anchor_windows_relational(
+                train_pages, redirects, lang=cfg.lang,
+                window=cfg.window).persist()
+        else:
+            windows = fused_anchor_windows(
+                train_pages, redirect_map_bc, lang=cfg.lang,
+                window=cfg.window).persist()
     else:
         mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
                                   dict_ctx, cfg)
@@ -211,10 +233,16 @@ def learn(
         least_threshold_words=cfg.least_threshold_words,
         least_threshold_types=cfg.least_threshold_types,
     )
-    # type patterns are learned over the full (uncapped) fact set, as the
-    # type_learner does with facts_limit=0 (config-default.ini:19)
+    # type patterns are learned over the full fact set by default, as the
+    # type_learner does with facts_limit=0 (config-default.ini:19); a
+    # non-zero limit caps facts per relation first (type_learner.py:41-49)
+    type_facts = facts
+    if cfg.type_learner_facts_limit:
+        type_facts = cap_training_facts(
+            facts, facts_limit=cfg.type_learner_facts_limit,
+            relation_types_limit=1_000_000)
     type_probs, rel_stats = learn_type_patterns(
-        facts, types,
+        type_facts, types,
         subject_minimum=cfg.subject_minimum,
         object_minimum=cfg.object_minimum,
     )
@@ -292,8 +320,11 @@ def extract(
 
     # reuse the broadcasts learn() already built (redirect resolution is an
     # iterative driver loop — a fixed serial cost worth paying exactly once)
-    redirect_map_bc = model.extras.get("redirect_map_bc") \
-        or collect_redirect_map(spark, redirects)
+    needs_rmap = (cfg.mention_mode != "anchors"
+                  or cfg.redirect_strategy == "broadcast")
+    redirect_map_bc = model.extras.get("redirect_map_bc")
+    if needs_rmap and redirect_map_bc is None:
+        redirect_map_bc = collect_redirect_map(spark, redirects)
     dict_ctx = model.extras.get("dict_ctx")
     if cfg.mention_mode == "dictionary" and dict_ctx is None:
         dict_ctx = _build_dict_ctx(spark, pages, redirects, cfg)
@@ -303,9 +334,14 @@ def extract(
     # persist so the extraction UDF chain executes once. redlink drop =
     # fact_extractor.py:189-191.
     if cfg.mention_mode == "anchors":
-        windows = fused_anchor_windows(
-            discovery, redirect_map_bc, lang=cfg.lang,
-            window=cfg.window, drop_redlinks=True).persist()
+        if cfg.redirect_strategy == "join":
+            windows = anchor_windows_relational(
+                discovery, redirects, lang=cfg.lang,
+                window=cfg.window, drop_redlinks=True).persist()
+        else:
+            windows = fused_anchor_windows(
+                discovery, redirect_map_bc, lang=cfg.lang,
+                window=cfg.window, drop_redlinks=True).persist()
     else:
         mentions = _page_mentions(discovery, redirect_map_bc, cfg.lang,
                                   dict_ctx, cfg)

@@ -67,7 +67,12 @@ def get_spark(
         # are small dims; let Catalyst broadcast up to 64 MiB automatically.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        # In local mode the driver IS the executor: all task threads share
+        # this one heap with the DataFrame cache. 8g measurably GC-thrashes
+        # at local[16+] on corpus-scale runs ("GCLocker retried" warnings,
+        # 1.3x task-time inflation); on a real cluster this is
+        # spark-submit's --executor-memory and the driver stays small.
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "32g"),
         "spark.ui.enabled": "false",
         "spark.executorEnv.PYTHONPATH": os.environ["PYTHONPATH"],
     }

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--mention-mode", default="anchors",
                    choices=["anchors", "dictionary"])
+    p.add_argument("--config", default=None,
+                   help="config.ini path (generated from config-default.ini "
+                        "if missing; CLI flags below override file values)")
     p.add_argument("--articles-limit", type=int, default=0)
     p.add_argument("--num-parts", type=int, default=32)
     p.add_argument("--fixture", type=int, default=0,
@@ -74,8 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         known = (spark.read.parquet(args.known_facts)
                  if args.known_facts else None)
 
-    cfg = PipelineConfig(articles_limit=args.articles_limit,
-                         mention_mode=args.mention_mode)
+    if args.config:
+        from fact_extraction_spark.plans.config import load_config
+        cfg = load_config(args.config,
+                          articles_limit=args.articles_limit,
+                          mention_mode=args.mention_mode)
+    else:
+        cfg = PipelineConfig(articles_limit=args.articles_limit,
+                             mention_mode=args.mention_mode)
     t0 = time.time()
     model = learn(spark, pages, facts, types, redirects, cfg,
                   exclude_subjects=exclude)

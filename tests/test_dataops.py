@@ -205,3 +205,36 @@ def test_skew_split_join_equivalence(spark, skewed):
     expected = sorted(map(tuple, large.join(dim, ["key"]).collect()))
     got = sorted(map(tuple, skew_split_join(large, dim, ["key"], hot).collect()))
     assert expected == got
+
+
+def test_lsh_skew_guard_defuses_boilerplate_bomb(spark):
+    """max_shingle_df: documents sharing ONLY a boilerplate suffix must not
+    pair up (the suffix shingles have df = corpus size — one LSH bucket
+    holding everything AND inflated Jaccard). With the guard, only the one
+    genuine near-dup pair survives."""
+    from fact_extraction_spark.dataops.dedup import (
+        lsh_candidate_pairs, minhash_lsh_pairs, minhash_signatures,
+        shingle_sets)
+
+    boiler = " subscribe to our newsletter all rights reserved privacy policy"
+    bodies = [f"unique body number {i} speaks about topic {i * 7}"
+              for i in range(10)]
+    bodies.append(bodies[0] + " extended")          # doc 10 ~ doc 0 near-dup
+    docs = spark.createDataFrame(
+        [(i, b + boiler * 3) for i, b in enumerate(bodies)],
+        "doc_id int, text string")
+
+    # unguarded: every doc lands in the same buckets via boilerplate
+    cands_raw = lsh_candidate_pairs(
+        minhash_signatures(shingle_sets(docs, 3), 32), 16).count()
+    assert cands_raw == 55  # all C(11,2) pairs are candidates — the bomb
+
+    guarded = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=16,
+                                threshold=0.5, max_shingle_df=5)
+    rows = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert rows == {(0, 10)}  # only the genuine near-dup pair
+
+    # and unguarded verification would have emitted boilerplate-only pairs
+    unguarded = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=16,
+                                  threshold=0.5)
+    assert unguarded.count() > 1

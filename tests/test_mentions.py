@@ -121,10 +121,14 @@ def test_fused_anchor_windows_equals_composed(spark, tables):
         F.col("entity") != capitalize_first(strip_name("url")))
     composed = candidate_windows(mentions, window=4)
     fused = fused_anchor_windows(tables["pages"], rmap, lang="en", window=4)
-    cols = ["url", "sent_id", "rel_pos", "subject", "object",
-            "n_slots", "slot", "word"]
-    a = sorted(map(tuple, composed.select(*cols).collect()))
-    b = sorted(map(tuple, fused.select(*cols).collect()))
+
+    def rows(df):
+        return sorted(
+            (r["url"], r["sent_id"], r["rel_pos"], r["subject"], r["object"],
+             r["n_slots"], tuple((s["slot"], s["word"]) for s in r["slots"]))
+            for r in df.collect())
+
+    a, b = rows(composed), rows(fused)
     assert a == b and a
 
 
@@ -182,3 +186,48 @@ def test_mapside_dictionary_detection_equals_broadcast(spark, tables):
     assert got == want
     # tokens context rides along on both paths (link ranking needs it)
     assert all(r["tokens"] for r in got_rows)
+
+
+def test_anchor_windows_relational_equals_broadcast(spark, tables):
+    """redirect_strategy="join" (zero driver state: unresolved spans +
+    relational resolve/dedup/self-link) is row-identical to the match-time
+    broadcast-dict path, incl. the redirect-only entity, multi-hop chains
+    and the capitalize hotfix."""
+    from fact_extraction_spark.operators.mentions import (
+        anchor_windows_relational, fused_anchor_windows)
+
+    rmap = collect_redirect_map(spark, tables["redirects"])
+    bc = fused_anchor_windows(tables["pages"], rmap, lang="en", window=4)
+    jn = anchor_windows_relational(tables["pages"], tables["redirects"],
+                                   lang="en", window=4)
+
+    def rows(df):
+        return sorted(
+            (r["url"], r["sent_id"], r["rel_pos"], r["subject"], r["object"],
+             r["n_slots"], tuple((s["slot"], s["word"]) for s in r["slots"]))
+            for r in df.collect())
+
+    a, b = rows(bc), rows(jn)
+    assert a == b and a
+
+
+def test_pipeline_join_redirect_strategy_matches_broadcast(spark, tables):
+    """Full learn+extract under redirect_strategy="join" emits the same
+    triples as the default broadcast strategy (and never builds the
+    redirect map broadcast)."""
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    outs = {}
+    for strategy in ("broadcast", "join"):
+        cfg = PipelineConfig(articles_limit=0, redirect_strategy=strategy)
+        model = learn(spark, tables["pages"], tables["facts"],
+                      tables["types"], tables["redirects"], cfg,
+                      exclude_subjects=tables["ground_truth"])
+        if strategy == "join":
+            assert model.extras["redirect_map_bc"] is None
+        triples = extract(spark, tables["pages"], model, tables["types"],
+                          tables["redirects"], cfg)
+        outs[strategy] = {(r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+                          for r in triples.collect()}
+    assert outs["broadcast"] == outs["join"] and outs["broadcast"]

@@ -32,12 +32,11 @@ def tiny_mentions(spark):
 
 def test_candidate_windows_slots_and_words(spark, tiny_mentions):
     w = candidate_windows(tiny_mentions, window=2)
-    alice = {(r["slot"], r["word"])
-             for r in w.filter(F.col("subject") == "Alice").collect()}
+    row = w.filter(F.col("subject") == "Alice").first()
+    alice = {(s["slot"], s["word"]) for s in row["slots"]}
     # window 2 around Oslo at pos 4: slots -2,-1 -> born,in ; +1 -> '.'
     assert alice == {(-2, "born"), (-1, "in"), (1, ".")}
-    n = w.filter(F.col("subject") == "Alice").select("n_slots").first()[0]
-    assert n == 3
+    assert row["n_slots"] == 3
 
 
 def test_learn_patterns_merge_is_groupby(spark, tiny_mentions):
