@@ -481,6 +481,33 @@ def q_dictionary_mentions(spark, sf_dir):
                        "start", "alias")
 
 
+def q_dictionary_mentions_mapside(spark, sf_dir):
+    """Map-side dictionary detection — the at-scale default strategy
+    (bounded hot-head automaton + relational n-gram tail join,
+    mentions.py detect_dictionary_mentions_mapside): hot_k=1 pins only the
+    shortest alias in the head so the tail join (incl. two bigram aliases)
+    carries the weight; oracle = token/bigram position scan in SQL."""
+    from fact_extraction_spark.operators.mentions import (
+        collect_alias_broadcast, detect_dictionary_mentions_mapside_sentences,
+        split_alias_dictionary)
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.lit(0.0).alias("rel_pos"),
+        F.col("text").alias("sentence"))
+    aliases = spark.createDataFrame(
+        [("scan", "Scan"), ("table", "Table"),
+         ("hash join", "Hash_join"), ("merge batch", "Merge_batch")],
+        "alias string, entity string")
+    head, tail = split_alias_dictionary(aliases, hot_k=1, max_tail_tokens=4)
+    head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
+    hits = detect_dictionary_mentions_mapside_sentences(
+        sents, head_bc, tail, max_tail_tokens=4)
+    return hits.select(F.col("url").cast("long").alias("doc_id"),
+                       "start", "end", "alias")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -508,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_knn": q_embedding_cosine_knn,
         "connected_components": q_connected_components,
         "dictionary_mentions": q_dictionary_mentions,
+        "dictionary_mentions_mapside": q_dictionary_mentions_mapside,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "minhash_lsh_guarded": q_minhash_lsh_guarded,
@@ -913,6 +941,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN s_marg USING (pred, stype)
                          JOIN o_marg USING (pred, otype)
                          JOIN total USING (pred)
+        """,
+        "dictionary_mentions_mapside": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE n_chars > 0),
+            uni AS (
+                SELECT doc_id, s - 1 AS start, s - 1 AS "end",
+                       t[s] AS alias
+                FROM toks, unnest(generate_series(1, len(t))) AS u(s)
+                WHERE t[s] IN ('scan', 'table')),
+            bi AS (
+                SELECT doc_id, s - 1 AS start, s AS "end",
+                       t[s] || ' ' || t[s + 1] AS alias
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(s)
+                WHERE t[s] || ' ' || t[s + 1] IN ('hash join', 'merge batch'))
+            SELECT * FROM uni UNION ALL SELECT * FROM bi
         """,
         "dictionary_mentions": """
             WITH toks AS (

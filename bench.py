@@ -63,10 +63,15 @@ def ensure_corpus(spark, sf: float) -> tuple[str, int]:
 
 
 def run_kg_pipeline(spark, corpus: str) -> dict:
-    """learn + extract over the bench corpus; returns timings + docs/sec."""
+    """learn + extract over the bench corpus; returns timings + docs/sec.
+
+    Bench hygiene (VERDICT r2 #5): every pipeline persist is released via
+    the cache registry between legs, so each leg is timed against a clean
+    executor-storage state instead of a heap full of the previous leg's
+    pinned blocks."""
     from pyspark.sql import functions as F  # noqa: F401
     from fact_extraction_spark.plans.pipeline import (
-        PipelineConfig, extract, learn)
+        PipelineConfig, extract, learn, release_pipeline_caches)
 
     t = {n: spark.read.parquet(f"{corpus}/{n}.parquet")
          for n in ("pages", "facts", "types", "redirects", "ground_truth")}
@@ -76,16 +81,20 @@ def run_kg_pipeline(spark, corpus: str) -> dict:
     t0 = time.time()
     model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"],
                   cfg, exclude_subjects=t["ground_truth"])
-    # force model materialization
+    # force model materialization (incl. the cached training-subject set)
     for df in (model.pattern_words, model.pattern_stats, model.pattern_types,
-               model.type_probs, model.rel_stats):
+               model.type_probs, model.rel_stats, model.training_subjects):
         df.count()
     learn_sec = time.time() - t0
+    # learn's windows/training-facts persists are dead weight once the
+    # model tables are materialized
+    release_pipeline_caches()
 
     t1 = time.time()
     triples = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
     n_triples = triples.count()
     extract_sec = time.time() - t1
+    release_pipeline_caches()
 
     # non-zero articles_limit run: exercises the distributed top-k discovery
     # cap (TakeOrderedAndProject + broadcast semi-join), which a zero limit
@@ -96,10 +105,25 @@ def run_kg_pipeline(spark, corpus: str) -> dict:
                      capped_cfg)
     capped.write.format("noop").mode("overwrite").save()
     capped_sec = time.time() - t2
+    release_pipeline_caches()
+
+    # dictionary-mode leg (north-star stage 2, default at-scale strategy):
+    # same learned model, mention detection via the map-side AC dictionary
+    # + tf-idf disambiguation instead of anchor tagging
+    dict_cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                              dictionary_strategy="mapside")
+    t3 = time.time()
+    dict_triples = extract(spark, t["pages"], model, t["types"],
+                           t["redirects"], dict_cfg)
+    dict_triples.write.format("noop").mode("overwrite").save()
+    dict_sec = time.time() - t3
+    release_pipeline_caches()
+    model.unpersist()
     return {
         "learn_sec": learn_sec,
         "extract_sec": extract_sec,
         "capped_extract_sec": capped_sec,
+        "dict_extract_sec": dict_sec,
         "pages": n_pages,
         "triples": n_triples,
         "docs_per_sec": n_pages / extract_sec if extract_sec > 0 else 0.0,
@@ -126,23 +150,28 @@ def main() -> None:
     corpus, _ = ensure_corpus(spark, sf)
 
     timings: dict[str, float] = {}
-
     t0 = time.time()
-    kg = run_kg_pipeline(spark, corpus)
-    timings["kg_learn"] = round(kg["learn_sec"], 3)
-    timings["kg_extract"] = round(kg["extract_sec"], 3)
-    timings["kg_extract_capped"] = round(kg["capped_extract_sec"], 3)
 
+    # heavy relational/document queries FIRST, against a clean heap — the
+    # KG legs run after, so query timings measure the queries, not memory
+    # pressure from pipeline caches (VERDICT r2 #5 bench hygiene)
     heavy = [
         "agg_scan_pushdown", "join_topk", "window_running",
         "type_probability", "dedup_exact", "token_count",
         "doc_fingerprint", "embedding_cosine_knn", "dictionary_mentions",
+        "dictionary_mentions_mapside",
     ]
     qs = entry_mod.queries()
     for name in heavy:
         t1 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t1, 3)
+
+    kg = run_kg_pipeline(spark, corpus)
+    timings["kg_learn"] = round(kg["learn_sec"], 3)
+    timings["kg_extract"] = round(kg["extract_sec"], 3)
+    timings["kg_extract_capped"] = round(kg["capped_extract_sec"], 3)
+    timings["kg_extract_dict"] = round(kg["dict_extract_sec"], 3)
 
     total = round(time.time() - t0, 3)
     print(json.dumps({

@@ -413,7 +413,12 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
                         out["object"].append(ent)
                         out["n_slots"].append(len(slot_words))
                         out["slots"].append(slot_words)
-            yield pd.DataFrame(out)
+            # an all-empty batch must NOT be yielded: pandas infers float64
+            # for empty columns and Arrow cannot cast empty float64 to
+            # list<struct> (fires whenever a partition produces no
+            # candidates — guaranteed at scale)
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     df = pages
     if lang is not None:
@@ -481,7 +486,10 @@ def fused_anchor_spans(pages: DataFrame,
                         out["end"].append(e)
                         out["n_slots"].append(len(slot_words))
                         out["slots"].append(slot_words)
-            yield pd.DataFrame(out)
+            # see fused_anchor_windows: never yield an all-empty batch
+            # (empty float64 columns cannot cast to list<struct>)
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     df = pages
     if lang is not None:
@@ -512,9 +520,15 @@ def anchor_windows_relational(pages: DataFrame, redirects: DataFrame,
     spans = fused_anchor_spans(pages, lang=lang, window=window,
                                max_sentence_tokens=max_sentence_tokens,
                                drop_redlinks=drop_redlinks)
-    resolved = resolve_redirects(redirects).select(
-        capitalize_first("alias").alias("raw_entity"),
-        capitalize_first("target").alias("_target"))
+    # Two redirect aliases can collapse to the same capitalize_first form
+    # with different targets; keep ONE deterministic target per capitalized
+    # alias (min) — the same rule collect_redirect_map applies — so this
+    # path stays row-identical to the broadcast path on case-variant
+    # aliases.
+    resolved = (
+        resolve_redirects(redirects)
+        .groupBy(capitalize_first("alias").alias("raw_entity"))
+        .agg(F.min(capitalize_first("target")).alias("_target")))
     joined = (
         spans.join(resolved, "raw_entity", "left")
         .withColumn("object", F.coalesce("_target", "raw_entity"))
@@ -727,6 +741,55 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
     )
 
 
+def sentence_head_hits(sentences: DataFrame, head_bc) -> DataFrame:
+    """Sentence-level analogue of ``fused_sentence_hits`` for callers that
+    already hold sentence rows (url, sent_id, rel_pos, sentence): emits one
+    row per sentence with tokens + hot-head automaton hits (possibly
+    empty). Same per-executor automaton cache."""
+    @pandas_udf(StructType([
+        StructField("tokens", ArrayType(StringType())),
+        StructField("hits", ArrayType(StructType([
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("alias", StringType()),
+            StructField("entity", StringType()),
+        ]))),
+    ]))
+    def _scan(sentence: pd.Series) -> pd.DataFrame:
+        key = id(head_bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick.from_entries(
+                (tokenize(alias), (alias, entity))
+                for alias, entity in head_bc.value)
+            _AC_CACHE.clear()
+            _AC_CACHE[key] = ac
+        toks_out, hits_out = [], []
+        for sent in sentence:
+            tokens = tokenize(sent or "")
+            hits_out.append([(s, e, alias, entity)
+                             for s, e, (alias, entity) in ac.find(tokens)])
+            toks_out.append(tokens)
+        return pd.DataFrame({"tokens": toks_out, "hits": hits_out})
+
+    return sentences.select(
+        "url", "sent_id", "rel_pos", _scan(F.col("sentence")).alias("th")) \
+        .select("url", "sent_id", "rel_pos",
+                F.col("th.tokens").alias("tokens"),
+                F.col("th.hits").alias("hits"))
+
+
+def detect_dictionary_mentions_mapside_sentences(
+    sentences: DataFrame, head_bc, tail: DataFrame,
+    max_tail_tokens: int = 6,
+) -> DataFrame:
+    """Map-side dictionary detection over pre-split sentence rows: hot-head
+    automaton hits ∪ relational n-gram tail join (same machinery as
+    ``detect_dictionary_mentions_mapside``, minus the page extraction)."""
+    sent = sentence_head_hits(sentences, head_bc)
+    return _mapside_union(sent, tail, max_tail_tokens)
+
+
 def detect_dictionary_mentions_mapside(
     pages: DataFrame, head_bc, tail: DataFrame,
     lang: str | None = "en", max_tail_tokens: int = 6,
@@ -741,7 +804,17 @@ def detect_dictionary_mentions_mapside(
     bucketed by ``key`` so the join co-locates. Output schema matches
     ``fused_dictionary_mentions``.
     """
-    sent = fused_sentence_hits(pages, head_bc, lang=lang).persist()
+    from fact_extraction_spark.caches import track
+
+    sent = track(fused_sentence_hits(pages, head_bc, lang=lang).persist())
+    return _mapside_union(sent, tail, max_tail_tokens)
+
+
+def _mapside_union(sent: DataFrame, tail: DataFrame,
+                   max_tail_tokens: int) -> DataFrame:
+    """Hot-head hits ∪ n-gram tail join over sentence rows
+    (url, sent_id, rel_pos, tokens, hits)."""
+    from fact_extraction_spark.caches import track
 
     hot = (
         sent.filter(F.size("hits") > 0)
@@ -754,7 +827,7 @@ def detect_dictionary_mentions_mapside(
                 F.col("m.entity").alias("entity"))
     )
 
-    tail_keyed = tail.select("alias", "entity", "key").persist()
+    tail_keyed = track(tail.select("alias", "entity", "key").persist())
     first_toks = F.broadcast(
         tail_keyed.select(F.split("key", " ")[0].alias("tok")).distinct())
 
@@ -796,10 +869,15 @@ def detect_dictionary_mentions_mapside(
 
 
 def collect_redirect_map(spark: SparkSession, redirects: DataFrame):
-    """Broadcast {alias → final target} (underscore form, capitalized)."""
+    """Broadcast {alias → final target} (underscore form, capitalized).
+
+    When two aliases collapse to the same capitalized form with different
+    targets, the smallest target wins — deterministic, and identical to the
+    groupBy/min rule of ``anchor_windows_relational``."""
     resolved = resolve_redirects(redirects)
-    mapping = {
-        _capitalize(r["alias"]): _capitalize(r["target"])
-        for r in resolved.collect()
-    }
+    mapping: dict[str, str] = {}
+    for r in resolved.collect():
+        alias, target = _capitalize(r["alias"]), _capitalize(r["target"])
+        if alias not in mapping or target < mapping[alias]:
+            mapping[alias] = target
     return spark.sparkContext.broadcast(mapping)

@@ -64,88 +64,112 @@ def score_candidates(
     types: DataFrame,
     allow_unknown_entity_types: bool = True,
     match_threshold: float = DEFAULT_MATCH_THRESHOLD,
+    type_matching: bool = True,
 ) -> DataFrame:
     """windows (candidate context rows) → scored (subj, pred, obj, score, …).
 
     ``windows`` comes from ``lexical_patterns.candidate_windows`` over
     discovery pages. All learned tables are broadcast dims.
+
+    ``type_matching=False`` reproduces the reference exactly
+    (fact_extractor.py:135-141 + pattern_matcher.py:24-25): every candidate
+    is scored against EVERY learned relation (no reasonable-relations
+    gate), and the match score is the pattern-intersection (syntax) score
+    alone — no type scores, no position term, no weighted mean.
     """
     # windows hold ONE nested row per candidate (unique by construction in
-    # fused_anchor_windows / candidate_windows) — no corpus-wide distinct
-    cands = windows.select(*CAND_KEY, "rel_pos", "n_slots")
+    # fused_anchor_windows / candidate_windows) — no corpus-wide distinct.
+    # ``slot_keys`` serializes each filled slot as "slot:word" so the match
+    # count is a codegen array_intersect against a broadcast per-relation
+    # key array — NOT an explode + broadcast-join + groupBy(count) + join
+    # back, which costs two corpus-sized shuffles and was the dominant
+    # allocation source at high core counts (BENCH/BASELINE.md round-2
+    # task-time-inflation analysis). The ':' separator is unambiguous: the
+    # slot is an integer (no ':'), so the first ':' always delimits.
+    cands = windows.select(
+        *CAND_KEY, "rel_pos", "n_slots",
+        F.transform("slots", lambda s: F.concat_ws(
+            ":", s["slot"].cast("string"), s["word"])).alias("slot_keys"))
 
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
 
-    # ---- reasonable-relations gate, subject and object side ----
-    # Build per-ENTITY admissible-pred sets once (entity-dimension sized),
-    # then enforce both sides with two inner joins. The earlier formulation
-    # expanded candidate×pred rows per side and intersect()ed them — a
-    # corpus-sized distinct+shuffle that dominated the scoring stage.
-    def entity_preds(entity_col: str, side: str) -> DataFrame:
-        typed = _gate_pairs(types, pattern_types, side)
-        ents = cands.select(F.col(entity_col).alias("entity")).distinct()
-        allowed = typed.join(ents, "entity", "left_semi")
-        if allow_unknown_entity_types:
-            all_preds = F.broadcast(pattern_stats.select("pred").distinct())
-            unknown = (ents.join(n_types, "entity", "left_anti")
-                       .crossJoin(all_preds))
-            allowed = allowed.unionByName(unknown)
-        return allowed.withColumnRenamed("entity", entity_col)
+    if type_matching:
+        # ---- reasonable-relations gate + type score + early exit, fused
+        # into ONE entity-dimension table per side ----
+        # (entity, pred, type_score): gate-passing typed entities carry
+        # Σ P(rel|type)/|types| (zero-score rows dropped here — the
+        # pattern_matcher.py:31-37 early exit); type-less entities carry
+        # NULL for every learned relation when allowed. One inner join per
+        # side replaces the round-2 shape of gate join + prob join +
+        # n_types join + post-hoc filter (three corpus-sized shuffle joins
+        # fewer).
+        def side_scores(ent_col: str, side: str) -> DataFrame:
+            ents = cands.select(F.col(ent_col).alias("entity")).distinct()
+            typed = (
+                _gate_pairs(types, pattern_types, side)
+                .join(ents, "entity", "left_semi")
+                .join(_entity_side_scores(types, type_probs, side),
+                      ["entity", "pred"], "left")
+                .join(n_types, "entity")
+                .withColumn("type_score",
+                            F.coalesce("prob_sum", F.lit(0.0))
+                            / F.col("n_types"))
+                .filter(F.col("type_score") > 0)
+                .select("entity", "pred", "type_score"))
+            if allow_unknown_entity_types:
+                all_preds = F.broadcast(
+                    pattern_stats.select("pred").distinct())
+                unknown = (
+                    ents.join(n_types, "entity", "left_anti")
+                    .crossJoin(all_preds)
+                    .withColumn("type_score", F.lit(None).cast("double")))
+                typed = typed.unionByName(unknown)
+            return typed.withColumnRenamed("entity", ent_col) \
+                .withColumnRenamed("type_score", f"{side}_type_score")
 
-    scored = (
-        cands.join(entity_preds("subject", "subject"), "subject")
-        .join(entity_preds("object", "object"), ["object", "pred"])
-    )
+        scored = (
+            cands.join(side_scores("subject", "subject"), "subject")
+            .join(side_scores("object", "object"), ["object", "pred"])
+        )
+    else:
+        # reasonable_relations = ALL learned relations
+        # (fact_extractor.py:140-141)
+        scored = cands.crossJoin(
+            F.broadcast(pattern_stats.select("pred").distinct()))
 
-    # ---- syntax score ----
-    lw = F.broadcast(pattern_words.select("pred", "slot", "word"))
-    matches = (
-        windows.select(*CAND_KEY, F.explode("slots").alias("s"))
-        .select(*CAND_KEY, F.col("s.slot").alias("slot"),
-                F.col("s.word").alias("word"))
-        .join(lw, ["slot", "word"])
-        .groupBy(*CAND_KEY, "pred")
-        .agg(F.count("*").alias("matches"))
-    )
-    scored = scored.join(matches, CAND_KEY + ["pred"], "left").fillna({"matches": 0})
+    # ---- syntax score (|candidate ∩ learned (slot, word) pairs|) ----
+    pattern_keys = F.broadcast(
+        pattern_words.groupBy("pred").agg(
+            F.collect_list(F.concat_ws(
+                ":", F.col("slot").cast("string"), F.col("word")))
+            .alias("learned_keys")))
     stats = F.broadcast(pattern_stats.filter(F.col("total_words") > 0))
-    scored = scored.join(stats, "pred")
+    scored = scored.join(stats, "pred").join(pattern_keys, "pred", "left")
+    matches = F.when(F.col("learned_keys").isNull(), F.lit(0)).otherwise(
+        F.size(F.array_intersect("slot_keys", "learned_keys")))
     avg_learned = F.col("total_words") / F.col("covered_sentences")
     # candidate total words = filled slots + 1 (the mention-head "root" word,
     # which the learned side has cleared — pattern.py:214)
     avg_cand = F.col("n_slots") + F.lit(1.0)
     syntax = F.least(F.lit(1.0),
-                     (F.col("matches") * F.col("matches")) / avg_learned / avg_cand)
+                     (matches * matches) / avg_learned / avg_cand)
     scored = scored.withColumn("syntax_score", syntax)
 
-    # ---- type scores ----
-    for side, ent_col in (("subject", "subject"), ("object", "object")):
-        ss = _entity_side_scores(types, type_probs, side) \
-            .withColumnRenamed("entity", ent_col) \
-            .withColumnRenamed("prob_sum", f"{side}_prob_sum") \
-            .withColumnRenamed("pred", "pred")
-        scored = scored.join(ss, [ent_col, "pred"], "left")
-        nt = n_types.withColumnRenamed("entity", ent_col) \
-            .withColumnRenamed("n_types", f"{side}_n_types")
-        scored = scored.join(nt, ent_col, "left")
-        score_col = (
-            F.when(F.col(f"{side}_n_types").isNull(), F.lit(None).cast("double"))
-            .otherwise(F.coalesce(F.col(f"{side}_prob_sum"), F.lit(0.0))
-                       / F.col(f"{side}_n_types"))
+    if not type_matching:
+        # pattern_matcher.py:24-25: score = the intersection score, full stop
+        return (
+            scored.withColumn("score", F.col("syntax_score"))
+            .filter(F.col("score") >= match_threshold)
+            .select(
+                F.col("subject").alias("subj"),
+                "pred",
+                F.col("object").alias("obj"),
+                "score",
+                "url", "sent_id", "rel_pos",
+            )
         )
-        scored = scored.withColumn(f"{side}_type_score", score_col)
 
-    if not allow_unknown_entity_types:
-        # without the unknown-types exemption, a missing type set scores 0
-        scored = scored.withColumn(
-            "subject_type_score", F.coalesce("subject_type_score", F.lit(0.0))
-        ).withColumn(
-            "object_type_score", F.coalesce("object_type_score", F.lit(0.0)))
-
-    # early exit (pattern_matcher.py:31-37): a hard type-score 0 kills it
-    scored = scored.filter(
-        (F.col("subject_type_score").isNull() | (F.col("subject_type_score") > 0))
-        & (F.col("object_type_score").isNull() | (F.col("object_type_score") > 0)))
+    # (type scores + early exit already attached by the fused side joins)
 
     # ---- position score ----
     pos = (F.lit(1.0) - F.abs(F.col("relative_position") - F.col("rel_pos"))) ** 2

@@ -17,11 +17,14 @@ tables, broadcast at use sites.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fact_extraction_spark.caches import track
+from fact_extraction_spark.caches import release as release_pipeline_caches  # noqa: F401  (public API)
 from fact_extraction_spark.functions.uri import capitalize_first, strip_name
 from fact_extraction_spark.operators.extract_text import (  # noqa: F401
     explode_sentences, extract_text,
@@ -38,8 +41,11 @@ from fact_extraction_spark.operators.mentions import (
     detect_dictionary_mentions_mapside, fused_anchor_mentions,
     fused_anchor_windows, fused_dictionary_mentions, split_alias_dictionary,
 )
+from fact_extraction_spark.operators.mentions import resolve_redirects
 from fact_extraction_spark.operators.scoring import score_candidates
 from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -55,6 +61,13 @@ class PipelineConfig:
                                                     # (code default is 0.005,
                                                     # fact_extractor.py:18)
     allow_unknown_entity_types: bool = True
+    # type_matching=False reproduces fact_extractor.py:123-147 +
+    # pattern_matcher.py:24-25: NO reasonable-relations gate (every learned
+    # relation is considered) and the match score is the pattern-intersection
+    # (syntax) score ALONE — no type scores, no position term, no weighted
+    # mean. The discovery-resource type gate stays active either way
+    # (_load_discovery_resources applies it unconditionally,
+    # fact_extractor.py:68-85).
     type_matching: bool = True
     window: int = 4                                 # lexical analogue of depth=2
     subject_minimum: float = 0.05                   # type-count cleaning
@@ -68,13 +81,18 @@ class PipelineConfig:
     mention_mode: str = "anchors"
     max_profile_words: int = 64
     # Dictionary-mode detection strategy:
-    # "mapside" (default) — bounded hot-head automaton broadcast + relational
+    # "auto" (default) — count the (alias, entity) pairs (one agg over a
+    #   dimension table) and pick: "broadcast" under
+    #   ``dictionary_auto_threshold`` pairs (mapside's two extra shuffles
+    #   are pure overhead on a small dictionary), "mapside" above.
+    # "mapside" — bounded hot-head automaton broadcast + relational
     #   n-gram join against the long-tail alias table; the full dictionary is
     #   NEVER collected to the driver (at 10^7 aliases the full collect is a
     #   multi-GB driver materialization + per-executor Python dict).
     # "broadcast" — collect the whole dictionary into one automaton; fastest
     #   when the dictionary is known-small (tests, bounded domains).
-    dictionary_strategy: str = "mapside"
+    dictionary_strategy: str = "auto"
+    dictionary_auto_threshold: int = 200_000   # pairs; "auto" switch point
     dictionary_hot_k: int = 100_000      # head size (aliases, not pairs)
     max_tail_tokens: int = 6             # n-gram bound for the tail join
     # Anchors-mode redirect resolution:
@@ -91,6 +109,14 @@ class PipelineConfig:
     # pattern TREE (pattern.py:144-155) — the monoid groupBy merge has no
     # tree to validate, so the flag is parsed for parity but inert
     perform_tests: bool = False
+    # Canonicalize triple subjects/objects through the connected-components
+    # alias graph (redirects + capitalize variants) before the sink —
+    # SURVEY §3.3 step 6 / §7.1 last box. Off by default: anchors-mode
+    # extraction already resolves redirects + applies the capitalize hotfix
+    # at mention time, so canonicalization only changes output when the
+    # corpus contains alias-titled pages (subjects) or multi-step chains the
+    # per-mention pass missed.
+    canonicalize_output: bool = False
     # Global score ordering of the extract output is presentation-layer work
     # (the reference sorts once at print time, fact_extractor.py:208): at
     # corpus scale a full sort is an extra all-to-all Exchange of the result,
@@ -114,12 +140,32 @@ class LearnedModel:
             df.cache()
         return self
 
+    def unpersist(self) -> "LearnedModel":
+        for df in (self.pattern_words, self.pattern_stats, self.pattern_types,
+                   self.type_probs, self.rel_stats, self.training_subjects):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return self
+
 
 def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
                     redirects: DataFrame, cfg: "PipelineConfig") -> dict:
     """Dictionary-mode detection context per cfg.dictionary_strategy."""
     cands = build_alias_candidates(pages, redirects)
-    if cfg.dictionary_strategy == "broadcast":
+    strategy = cfg.dictionary_strategy
+    if strategy == "auto":
+        # one count over a dimension table decides the switch: under the
+        # threshold the full-dictionary broadcast wins (mapside's n-gram
+        # explode + two joins are pure overhead); above it the bounded-head
+        # mapside path is the only sane shape
+        n_pairs = cands.count()
+        strategy = ("broadcast" if n_pairs <= cfg.dictionary_auto_threshold
+                    else "mapside")
+        logger.info("dictionary_strategy=auto: %d alias pairs -> %s",
+                    n_pairs, strategy)
+    if strategy == "broadcast":
         return {"mode": "broadcast",
                 "alias_bc": collect_alias_broadcast(spark, cands)}
     head, tail = split_alias_dictionary(
@@ -128,8 +174,19 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
     # the ONLY driver materialization is the bounded head (≤ hot_k aliases
     # + the rare >max_tail_tokens ones); the tail stays a DataFrame
     head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
+    # make the promised bound OBSERVABLE: aliases longer than
+    # max_tail_tokens bypass hot_k unconditionally, so a long-alias-heavy
+    # dictionary can still blow up the driver — warn instead of failing
+    # silently (raise max_tail_tokens or pre-filter junk aliases upstream)
+    n_head = len(head_bc.value)
+    if n_head > 2 * cfg.dictionary_hot_k:
+        logger.warning(
+            "map-side dictionary head holds %d pairs (> 2x hot_k=%d): the "
+            "long-alias overflow (> max_tail_tokens=%d tokens) dominates; "
+            "consider raising max_tail_tokens", n_head,
+            cfg.dictionary_hot_k, cfg.max_tail_tokens)
     return {"mode": "mapside", "head_bc": head_bc,
-            "tail": tail.select("alias", "entity", "key").persist()}
+            "tail": track(tail.select("alias", "entity", "key").persist())}
 
 
 def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
@@ -160,9 +217,9 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
             candidates = detect_dictionary_mentions_mapside(
                 pages, dict_ctx["head_bc"], dict_ctx["tail"], lang=lang,
                 max_tail_tokens=(cfg.max_tail_tokens if cfg else 6))
-        profiles = build_entity_profiles(
+        profiles = track(build_entity_profiles(
             anchor_mentions,
-            max_profile_words=(cfg.max_profile_words if cfg else 64)).persist()
+            max_profile_words=(cfg.max_profile_words if cfg else 64)).persist())
         idf = compute_idf(profiles)
         mentions = disambiguate_mentions(candidates, profiles, idf) \
             .drop("link_score")
@@ -186,13 +243,13 @@ def learn(
     """Train type patterns + lexical patterns."""
     cfg = cfg or PipelineConfig()
 
-    training_facts = cap_training_facts(
+    training_facts = track(cap_training_facts(
         facts,
         relation_whitelist=cfg.relation_whitelist,
         facts_limit=cfg.facts_limit,
         relation_types_limit=cfg.relation_types_limit,
         exclude_subjects=exclude_subjects,
-    ).cache()
+    ).cache())
     training_subjects = training_facts.select("subj").distinct()
 
     # filtered-index semantics (wikipedia_dump_index_creator.py:41-57):
@@ -227,6 +284,12 @@ def learn(
         mentions = _page_mentions(train_pages, redirect_map_bc, cfg.lang,
                                   dict_ctx, cfg)
         windows = candidate_windows(mentions, window=cfg.window).persist()
+    # EAGER stage boundary: fill the persist before the multi-branch
+    # aggregation DAG runs. A lazily-persisted windows under concurrently
+    # submitted downstream stages makes every stage find the cache unfilled
+    # and re-run the whole html→windows UDF chain (measured 5-10× on the
+    # capped extract, VERDICT r2 #3) — one count() materializes it once.
+    track(windows).count()
 
     learned = learn_lexical_patterns(
         windows, training_facts, types,
@@ -267,8 +330,15 @@ def select_discovery_pages(
     title is not a training subject and whose types intersect the learned
     subject-type gate (or are unknown, when allowed). Deterministic
     ``articles_limit`` cap by url order (divergence: reference is
-    file-order)."""
-    titled = pages.withColumn("title", capitalize_first(strip_name("url")))
+    file-order).
+
+    Shape for scale: ALL gating runs over a slim (url, title) projection —
+    the ``html`` column never rides through the anti/semi gating joins or
+    their shuffles; the full page rows are fetched once at the end via a
+    single semi-join against the kept url set (broadcast when the
+    articles_limit cap bounds it)."""
+    titled = pages.select("url").withColumn(
+        "title", capitalize_first(strip_name("url")))
     non_training = titled.join(
         model.training_subjects.select(F.col("subj").alias("title")),
         "title", "left_anti")
@@ -285,6 +355,7 @@ def select_discovery_pages(
             types.select(F.col("entity").alias("title")).distinct(),
             "title", "left_anti")
         gated = gated.unionByName(untyped)
+    keep = gated.select("url")
     if cfg.articles_limit:
         # Distributed top-k: orderBy+limit on a slim (url) projection plans
         # as TakeOrderedAndProject (per-partition top-k, then one merge of k
@@ -292,9 +363,8 @@ def select_discovery_pages(
         # funnel the whole discovery corpus through a single task. The kept
         # url set is at most articles_limit rows, so the semi-join back is a
         # broadcast.
-        keep = gated.select("url").orderBy("url").limit(cfg.articles_limit)
-        gated = gated.join(F.broadcast(keep), "url", "left_semi")
-    return gated.drop("title")
+        keep = F.broadcast(keep.orderBy("url").limit(cfg.articles_limit))
+    return pages.join(keep, "url", "left_semi")
 
 
 def extract(
@@ -347,6 +417,12 @@ def extract(
                                   dict_ctx, cfg)
         mentions = mentions.filter(~F.col("entity").contains("redlink=1"))
         windows = candidate_windows(mentions, window=cfg.window).persist()
+    # EAGER stage boundary (VERDICT r2 #3): score_candidates submits several
+    # stages over ``windows`` concurrently; if the persist is still lazy,
+    # each finds the cache unfilled and re-runs the full html→windows chain
+    # plus the discovery subtree (measured 178 s vs 19 s on the capped
+    # bench leg). One count() fills the cache exactly once.
+    track(windows).count()
 
     scored = score_candidates(
         windows,
@@ -354,11 +430,33 @@ def extract(
         model.type_probs, model.rel_stats, types,
         allow_unknown_entity_types=cfg.allow_unknown_entity_types,
         match_threshold=cfg.match_threshold,
+        type_matching=cfg.type_matching,
     )
     if known_facts is not None:
         # new-fact subtraction (pattern_recognition/fact_cleaner.py:15-25)
         scored = scored.join(known_facts.select("subj", "pred", "obj"),
                              ["subj", "pred", "obj"], "left_anti")
+    if cfg.canonicalize_output:
+        # SURVEY §3.3 step 6: rewrite co-referent subject/object names to a
+        # canonical representative via connected components over the alias
+        # graph (resolved redirects + capitalize variants). Preferred
+        # representatives: resolved redirect TARGETS (canonical by
+        # definition) plus page titles that are not themselves redirect
+        # aliases (a page titled with an alias — e.g. an alias-titled
+        # mirror — is non-canonical, which is exactly the case this pass
+        # exists to fix: its triples must surface under the real name).
+        from fact_extraction_spark.operators.canonicalize import (
+            build_equivalence_edges, canonical_mapping, canonicalize_triples)
+        resolved = resolve_redirects(redirects).select("alias", "target")
+        edges = build_equivalence_edges(resolved)
+        titles = pages.select(
+            capitalize_first(strip_name("url")).alias("name")).distinct()
+        aliases = resolved.select(capitalize_first("alias").alias("name"))
+        targets = resolved.select(capitalize_first("target").alias("name"))
+        preferred = targets.unionByName(
+            titles.join(aliases, "name", "left_anti")).distinct()
+        mapping = canonical_mapping(edges, preferred=preferred)
+        scored = canonicalize_triples(scored, mapping)
     if cfg.sort_output:
         scored = scored.orderBy(F.desc("score"), "subj", "pred", "obj")
     return scored

@@ -34,12 +34,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--types"), p.add_argument("--redirects")
     p.add_argument("--known-facts", default=None)
     p.add_argument("--out", required=True)
-    p.add_argument("--mention-mode", default="anchors",
+    # default=None so a flag the user never passed cannot override the
+    # config file's value (only explicitly-given flags win)
+    p.add_argument("--mention-mode", default=None,
                    choices=["anchors", "dictionary"])
     p.add_argument("--config", default=None,
                    help="config.ini path (generated from config-default.ini "
                         "if missing; CLI flags below override file values)")
-    p.add_argument("--articles-limit", type=int, default=0)
+    p.add_argument("--articles-limit", type=int, default=None)
+    p.add_argument("--canonicalize", action="store_true",
+                   help="canonicalize triple subjects/objects through the "
+                        "redirect/case connected-components graph before "
+                        "the sink (SURVEY §3.3 step 6)")
     p.add_argument("--num-parts", type=int, default=32)
     p.add_argument("--fixture", type=int, default=0,
                    help="generate a deterministic fixture corpus of N persons "
@@ -77,14 +83,20 @@ def main(argv: list[str] | None = None) -> int:
         known = (spark.read.parquet(args.known_facts)
                  if args.known_facts else None)
 
+    overrides = {k: v for k, v in {
+        "articles_limit": args.articles_limit,
+        "mention_mode": args.mention_mode,
+        "canonicalize_output": args.canonicalize or None,
+    }.items() if v is not None}
     if args.config:
         from fact_extraction_spark.plans.config import load_config
-        cfg = load_config(args.config,
-                          articles_limit=args.articles_limit,
-                          mention_mode=args.mention_mode)
+        cfg = load_config(args.config, **overrides)
     else:
-        cfg = PipelineConfig(articles_limit=args.articles_limit,
-                             mention_mode=args.mention_mode)
+        # no config file: fall back to argparse-era defaults (cap off,
+        # anchors mode) for knobs the user didn't set
+        overrides.setdefault("articles_limit", 0)
+        overrides.setdefault("mention_mode", "anchors")
+        cfg = PipelineConfig(**overrides)
     t0 = time.time()
     model = learn(spark, pages, facts, types, redirects, cfg,
                   exclude_subjects=exclude)

@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         build_redirects_table, build_type_inheritance_table,
         build_types_table)
 
+    # Only stop the session if this job created it: in-process callers
+    # (tests, notebooks) hand getOrCreate() their live session, and stopping
+    # it would kill every Spark consumer in the process.
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("setup_etl").getOrCreate()
     strict = not args.no_assert_complete
     summary: dict[str, int] = {}
@@ -83,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
 
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -97,3 +97,51 @@ def test_snapshot_resume_no_dupes_no_gaps(spark, tmp_path):
     # a third run is a no-op
     r3 = snap.commit_partitions(spark, full, base, stage="triples")
     assert r3["parts"] == 0
+
+
+def test_pipeline_canonicalize_output_flag(spark, tables):
+    """cfg.canonicalize_output wires canonicalization into extract()
+    (SURVEY §3.3 step 6): an alias-titled mirror page's triples surface
+    under the canonical subject, and on the unmodified corpus the pass is
+    an exact no-op (subjects are real titles, objects are already
+    redirect-resolved at match time) — golden P/R unchanged by
+    construction."""
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    cfg = PipelineConfig(articles_limit=0)
+    model = learn(spark, tables["pages"], tables["facts"], tables["types"],
+                  tables["redirects"], cfg,
+                  exclude_subjects=tables["ground_truth"])
+    base = extract(spark, tables["pages"], model, tables["types"],
+                   tables["redirects"], cfg)
+
+    def rows(df):
+        return {(r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+                for r in df.collect()}
+
+    base_rows = rows(base)
+    assert base_rows
+
+    # no-op on the unmodified corpus
+    cfg_on = PipelineConfig(articles_limit=0, canonicalize_output=True)
+    same = extract(spark, tables["pages"], model, tables["types"],
+                   tables["redirects"], cfg_on)
+    assert rows(same) == base_rows
+
+    # clone an emitting discovery page under a redirect alias title: its
+    # triples must come out under the canonical name, not the alias
+    some_url = sorted(r[0] for r in base.select("url").distinct().collect())[0]
+    clone = tables["pages"].filter(F.col("url") == some_url).withColumn(
+        "url", F.lit("https://en.wikipedia.org/wiki/Old_Veldt"))
+    pages2 = tables["pages"].unionByName(clone)
+    got = extract(spark, pages2, model, tables["types"],
+                  tables["redirects"], cfg_on)
+    subjects = {r["subj"] for r in got.select("subj").distinct().collect()}
+    assert "Old_Veldt" not in subjects
+    assert "Veldt_Harbor" in subjects
+    # without the flag the alias subject leaks through
+    raw = extract(spark, pages2, model, tables["types"],
+                  tables["redirects"], cfg)
+    raw_subjects = {r["subj"] for r in raw.select("subj").distinct().collect()}
+    assert "Old_Veldt" in raw_subjects

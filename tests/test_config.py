@@ -71,3 +71,16 @@ randomize = True
     cfg = load_config(str(path))
     # the reference would report True here (it reads 'randomize')
     assert cfg.perform_tests is False
+
+
+def test_type_matching_knob_roundtrips_and_is_consumed(tmp_path):
+    """The knob is parsed AND honored: scoring flips to syntax-only (the
+    wiring itself is covered by
+    test_type_matching_disabled_scores_syntax_only)."""
+    path = tmp_path / "config.ini"
+    path.write_text("""
+[fact_extractor]
+type_matching = False
+""")
+    cfg = load_config(str(path))
+    assert cfg.type_matching is False

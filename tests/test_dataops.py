@@ -216,8 +216,17 @@ def test_lsh_skew_guard_defuses_boilerplate_bomb(spark):
         lsh_candidate_pairs, minhash_lsh_pairs, minhash_signatures,
         shingle_sets)
 
-    boiler = " subscribe to our newsletter all rights reserved privacy policy"
-    bodies = [f"unique body number {i} speaks about topic {i * 7}"
+    boiler = (" subscribe to our newsletter all rights reserved privacy"
+              " policy terms of service contact us meet the team careers"
+              " press room")
+    # Interleave per-doc-unique tokens so the genuine pair's shared shingles
+    # stay below the df guard (shingles common to ALL docs — "unique body
+    # number", "speaks about topic" — have df=11 and are rightly dropped;
+    # only shingles within n-1 tokens of an {i}-bearing token survive, and
+    # the survivors must put the (0,10) guarded Jaccard over the threshold:
+    # 7 shared / 12 union = 0.583).
+    bodies = [f"unique body number {i} id{i} speaks about topic {i * 7} "
+              f"tag{i * 3} end{i}"
               for i in range(10)]
     bodies.append(bodies[0] + " extended")          # doc 10 ~ doc 0 near-dup
     docs = spark.createDataFrame(

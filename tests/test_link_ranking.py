@@ -79,7 +79,10 @@ def test_dictionary_mode_end_to_end_parity(spark, tables):
     from fact_extraction_spark.plans.pipeline import (
         PipelineConfig, extract, learn)
 
-    cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary")
+    # pin mapside so the default at-scale strategy stays covered end-to-end
+    # (the "auto" default would pick broadcast at fixture dictionary size)
+    cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                         dictionary_strategy="mapside")
     model = learn(spark, tables["pages"], tables["facts"], tables["types"],
                   tables["redirects"], cfg,
                   exclude_subjects=tables["ground_truth"])

@@ -231,3 +231,51 @@ def test_pipeline_join_redirect_strategy_matches_broadcast(spark, tables):
         outs[strategy] = {(r["subj"], r["pred"], r["obj"], round(r["score"], 9))
                           for r in triples.collect()}
     assert outs["broadcast"] == outs["join"] and outs["broadcast"]
+
+
+def test_dictionary_strategy_auto_switch(spark, tables):
+    """dictionary_strategy="auto" picks broadcast under the pair-count
+    threshold (mapside's extra shuffles are pure overhead on a small
+    dictionary) and mapside above it."""
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, _build_dict_ctx)
+
+    small = PipelineConfig(dictionary_strategy="auto",
+                           dictionary_auto_threshold=1_000_000)
+    ctx = _build_dict_ctx(spark, tables["pages"], tables["redirects"], small)
+    assert ctx["mode"] == "broadcast"
+
+    big = PipelineConfig(dictionary_strategy="auto",
+                         dictionary_auto_threshold=0)
+    ctx2 = _build_dict_ctx(spark, tables["pages"], tables["redirects"], big)
+    assert ctx2["mode"] == "mapside"
+    ctx2["tail"].unpersist()
+
+
+def test_capitalize_colliding_redirects_resolve_identically(spark):
+    """Two aliases collapsing to one capitalize_first form with different
+    targets: both the broadcast dict and the relational join keep the same
+    deterministic (min) target, so the paths stay row-identical."""
+    from fact_extraction_spark.operators.mentions import (
+        anchor_windows_relational, fused_anchor_windows)
+
+    redirects = spark.createDataFrame(
+        [("vale_Town", "Zeta_City"), ("Vale_Town", "Alpha_City")],
+        "alias string, target string")
+    html = b"Kim grew up in [[Vale Town]] for years.\n\nA second paragraph."
+    pages = spark.createDataFrame(
+        [("https://en.wikipedia.org/wiki/Kim", html, "en")],
+        "url string, html binary, lang string")
+
+    rmap = collect_redirect_map(spark, redirects)
+    assert rmap.value["Vale_Town"] == "Alpha_City"  # deterministic min
+
+    def rows(df):
+        return sorted(
+            (r["url"], r["sent_id"], r["subject"], r["object"])
+            for r in df.collect())
+
+    bc = rows(fused_anchor_windows(pages, rmap, lang="en", window=2))
+    jn = rows(anchor_windows_relational(pages, redirects, lang="en", window=2))
+    assert bc == jn and bc
+    assert bc[0][3] == "Alpha_City"

@@ -173,3 +173,42 @@ def test_pattern_coverage_and_diversity(spark):
     div = pattern_diversity(words, stats).first()
     # slot -1: 2 distinct / 6 covered; slot 1: 1/6 → mean = 0.25
     assert abs(div["diversity"] - 0.25) < 1e-9
+
+
+def test_type_matching_disabled_scores_syntax_only(spark, tiny_mentions):
+    """type_matching=False reproduces pattern_matcher.py:24-25 +
+    fact_extractor.py:135-141: no reasonable-relations gate, and the score
+    IS the pattern-intersection (syntax) score — no type terms, no
+    position term, no weighted mean."""
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"), ("Carl", "Person"),
+         ("Dora", "Person"), ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    learned = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+    type_probs, rel_stats = learn_type_patterns(facts, types, 0, 0)
+
+    cand = spark.createDataFrame([
+        _mention("Dora", 0, 0.0, "Dora was born in Oslo .", "Oslo", 4, 4),
+        _mention("Carl", 0, 0.5, "Carl once visited Oslo happily .", "Oslo", 3, 3),
+        # Eve has NO types: with the gate off and no type scores she is
+        # scored anyway, even with allow_unknown_entity_types=False
+        _mention("Eve", 0, 0.0, "Eve was born in Oslo .", "Oslo", 4, 4),
+    ], MENTIONS_DDL)
+    cw = candidate_windows(cand, window=2)
+    scored = score_candidates(
+        cw, learned["pattern_words"], learned["pattern_stats"],
+        learned["pattern_types"], type_probs, rel_stats, types,
+        allow_unknown_entity_types=False, match_threshold=0.0,
+        type_matching=False)
+    rows = {r["subj"]: r for r in scored.collect()}
+    # syntax = min(1, matches^2 / (total_words/covered) / (n_slots+1))
+    #        = min(1, 9 / 3 / 4) = 0.75 for the born-in construction
+    assert rows["Dora"]["score"] == pytest.approx(0.75)
+    assert rows["Eve"]["score"] == pytest.approx(0.75)  # gate skipped
+    assert rows["Carl"]["score"] == pytest.approx(0.0)  # 0 slot matches
+    assert set(rows) == {"Dora", "Eve", "Carl"}
