@@ -400,6 +400,23 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return lsh_bucketed_topk(e, q, planes, k=10)
 
 
+def q_embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucket candidates + exact
+    verify): the corpus is augmented with scaled copies of the first 20
+    vectors (scaling preserves direction, so cosine = 1 and the copy lands
+    in the same signed-projection bucket by construction) — the oracle
+    mirrors the augmentation and the bucket constraint."""
+    from fact_extraction_spark.dataops.similarity import (
+        cosine_neardup_pairs, reference_planes)
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"))
+    allv = e.select("vec_id", "embedding").unionByName(dup)
+    planes = reference_planes(e, n_planes=2, stride=97)
+    return cosine_neardup_pairs(allv, planes, threshold=0.99)
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-safe salted join (operators/salting.py): events fact table
     against the customer dim, salted 8 ways; semantics identical to the
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_full": q_quality_full,
         "token_counts_bpe": q_token_counts_bpe,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
         "salted_join_revenue": q_salted_join_revenue,
         "type_pair_independence": q_type_pair_independence,
     }
@@ -898,6 +916,32 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding, qv), 6) AS cosine
             FROM b, q WHERE bucket = qbucket
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_cosine_neardup": """
+            WITH p AS (
+                SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 2)),
+            allv AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> x * 1.5)
+                FROM embeddings WHERE vec_id < 20),
+            b AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN list_inner_product(embedding, planes[1]) >= 0
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_inner_product(embedding, planes[2]) >= 0
+                             THEN 2 ELSE 0 END) AS bucket
+                FROM allv, p)
+            SELECT id_a, id_b, cosine FROM (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                       round(list_cosine_similarity(a.embedding, c.embedding),
+                             6) AS cosine
+                FROM b a JOIN b c
+                  ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+            WHERE cosine >= 0.99
         """,
         "salted_join_revenue": """
             SELECT c_mktsegment, round(sum(value), 2) AS total_value,

@@ -80,6 +80,37 @@ def reference_planes(embeddings: DataFrame, n_planes: int = 2,
     return [list(r[vec_col]) for r in rows]
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    Candidates = vectors sharing a signed-projection bucket (high-cosine
+    pairs agree on hyperplane signs with probability 1 - θ/π per plane),
+    verified by the exact cosine. The self-join is quadratic only WITHIN
+    buckets — ``planes`` controls the bucket count, so at corpus scale the
+    blowup is bounded by the largest bucket, and the join shuffles on the
+    bucket key (bucket-partition the materialized table to co-locate it).
+    """
+    b = embeddings.withColumn("bucket", projection_bucket(vec_col, planes))
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: DataFrame,

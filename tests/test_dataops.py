@@ -247,3 +247,21 @@ def test_lsh_skew_guard_defuses_boilerplate_bomb(spark):
     unguarded = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=16,
                                   threshold=0.5)
     assert unguarded.count() > 1
+
+
+def test_cosine_neardup_pairs(spark):
+    """Embedding-cosine near-dup: same-bucket candidates + exact verify.
+    Parallel vectors pair up; orthogonal vectors share a bucket (zero dot
+    counts as positive sign) but fail the cosine verify; opposite-sign
+    vectors never become candidates."""
+    from fact_extraction_spark.dataops.similarity import cosine_neardup_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]), (5, [1.0, 0.05])]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_neardup_pairs(e, planes, threshold=0.99).collect()}
+    assert set(got) == {(1, 2), (1, 5), (2, 5)}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 5)] == pytest.approx(0.99875, abs=1e-4)
