@@ -115,21 +115,23 @@ def rank_candidates(
     re-execute the UDF chain per branch — at cluster scale this is where the
     mentions table is committed to Iceberg between stages (sinks/snapshot).
     """
-    candidate_mentions = candidate_mentions.persist()
+    from fact_extraction_spark.caches import track
+
+    candidate_mentions = track(candidate_mentions.persist())
     cand_keys = candidate_mentions.select(*MENTION_KEY, "entity").distinct()
 
     # mention-side tf-idf vector
     ctx = mention_context_words(
         candidate_mentions.select(*MENTION_KEY, "tokens").distinct())
     ctx_tf = ctx.groupBy(*MENTION_KEY, "word").agg(F.count("*").alias("tf"))
-    ctx_vec = ctx_tf.join(F.broadcast(idf), "word").withColumn(
-        "w_ctx", F.col("tf") * F.col("idf")).persist()
+    ctx_vec = track(ctx_tf.join(F.broadcast(idf), "word").withColumn(
+        "w_ctx", F.col("tf") * F.col("idf")).persist())
     ctx_norm = _norm(ctx_vec, MENTION_KEY, "w_ctx") \
         .withColumnRenamed("_norm", "ctx_norm")
 
     # profile-side tf-idf vector + norms (entity-dimension sized)
-    prof_vec = profiles.join(F.broadcast(idf), "word").withColumn(
-        "w_prof", F.col("tf") * F.col("idf")).persist()
+    prof_vec = track(profiles.join(F.broadcast(idf), "word").withColumn(
+        "w_prof", F.col("tf") * F.col("idf")).persist())
     prof_norm = _norm(prof_vec, ["entity"], "w_prof") \
         .withColumnRenamed("_norm", "prof_norm")
 

@@ -790,6 +790,109 @@ def detect_dictionary_mentions_mapside_sentences(
     return _mapside_union(sent, tail, max_tail_tokens)
 
 
+SENTENCE_HITS_ANCHORS_SCHEMA = ArrayType(StructType([
+    StructField("sent_id", IntegerType()),
+    StructField("rel_pos", DoubleType()),
+    StructField("tokens", ArrayType(StringType())),
+    StructField("hits", ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("alias", StringType()),
+        StructField("entity", StringType()),
+    ]))),
+    StructField("amentions", MENTION_SCHEMA),
+]))
+
+
+def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
+                                    redirect_map_bc,
+                                    lang: str | None = "en") -> DataFrame:
+    """ONE corpus pass emitting BOTH dictionary-automaton hits and
+    redirect-resolved anchor mentions per sentence.
+
+    The dictionary pipeline needs two mention views of the same pages —
+    AC-dictionary candidates (stage 2a) and trusted anchor tags (profile
+    building for the stage-2b tf-idf ranking). Running them as separate
+    fused UDFs costs two full html→sentences→tokens passes over the
+    corpus; this function pays the extraction exactly once. Output: one
+    row per sentence with (tokens, hits, amentions), hits/amentions
+    possibly empty (every sentence is emitted so the n-gram tail join sees
+    the full corpus)."""
+    from fact_extraction_spark.textops.wikitext import (
+        extract_article_text, extract_sentences)
+
+    @pandas_udf(SENTENCE_HITS_ANCHORS_SCHEMA)
+    def _fused(html: pd.Series) -> pd.Series:
+        key = id(head_bc.value)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = TokenAhoCorasick.from_entries(
+                (tokenize(alias), (alias, entity))
+                for alias, entity in head_bc.value)
+            _AC_CACHE.clear()
+            _AC_CACHE[key] = ac
+        rmap = redirect_map_bc.value
+
+        def _page(b) -> list:
+            text = extract_article_text(
+                (bytes(b) if b is not None else b"").decode(
+                    "utf-8", errors="replace"))
+            out = []
+            for sent_id, r in enumerate(extract_sentences(text)):
+                tokens = tokenize(r["sentence"] or "")
+                hits = [(s, e, alias, entity)
+                        for s, e, (alias, entity) in ac.find(tokens)]
+                aspans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
+                out.append((sent_id, r["rel_pos"], tokens, hits, aspans))
+            return out
+
+        return html.map(_page)
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return (
+        df.select("url", _fused(F.col("html")).alias("ss"))
+        .select("url", F.explode("ss").alias("s"))
+        .select(
+            "url",
+            F.col("s.sent_id").alias("sent_id"),
+            F.col("s.rel_pos").alias("rel_pos"),
+            F.col("s.tokens").alias("tokens"),
+            F.col("s.hits").alias("hits"),
+            F.col("s.amentions").alias("amentions"),
+        )
+    )
+
+
+def hot_hits(sent: DataFrame) -> DataFrame:
+    """Explode the automaton hits of sentence rows into mention rows."""
+    return (
+        sent.filter(F.size("hits") > 0)
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.explode("hits").alias("m"))
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.col("m.start").alias("start"),
+                F.col("m.end").alias("end"),
+                F.col("m.alias").alias("alias"),
+                F.col("m.entity").alias("entity"))
+    )
+
+
+def anchor_mention_rows(sent: DataFrame) -> DataFrame:
+    """Explode the anchor spans of sentence rows into mention rows
+    (the trusted-mention shape build_entity_profiles consumes)."""
+    return (
+        sent.filter(F.size("amentions") > 0)
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.explode("amentions").alias("m"))
+        .select("url", "sent_id", "rel_pos", "tokens",
+                F.col("m.start").alias("start"),
+                F.col("m.end").alias("end"),
+                F.col("m.entity").alias("entity"))
+    )
+
+
 def detect_dictionary_mentions_mapside(
     pages: DataFrame, head_bc, tail: DataFrame,
     lang: str | None = "en", max_tail_tokens: int = 6,
@@ -816,18 +919,14 @@ def _mapside_union(sent: DataFrame, tail: DataFrame,
     (url, sent_id, rel_pos, tokens, hits)."""
     from fact_extraction_spark.caches import track
 
-    hot = (
-        sent.filter(F.size("hits") > 0)
-        .select("url", "sent_id", "rel_pos", "tokens",
-                F.explode("hits").alias("m"))
-        .select("url", "sent_id", "rel_pos", "tokens",
-                F.col("m.start").alias("start"),
-                F.col("m.end").alias("end"),
-                F.col("m.alias").alias("alias"),
-                F.col("m.entity").alias("entity"))
-    )
+    hot = hot_hits(sent)
 
     tail_keyed = track(tail.select("alias", "entity", "key").persist())
+    # empty tail (every alias fit in the head): the n-gram explode +
+    # two joins would still execute over the whole corpus just to produce
+    # zero rows — short-circuit with one cheap dimension-table probe
+    if tail_keyed.limit(1).count() == 0:
+        return hot
     first_toks = F.broadcast(
         tail_keyed.select(F.split("key", " ")[0].alias("tok")).distinct())
 

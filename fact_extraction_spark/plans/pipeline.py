@@ -36,10 +36,10 @@ from fact_extraction_spark.operators.link_ranking import (
     build_entity_profiles, compute_idf, disambiguate_mentions,
 )
 from fact_extraction_spark.operators.mentions import (
-    anchor_windows_relational, build_alias_candidates,
-    collect_alias_broadcast, collect_redirect_map,
-    detect_dictionary_mentions_mapside, fused_anchor_mentions,
-    fused_anchor_windows, fused_dictionary_mentions, split_alias_dictionary,
+    _mapside_union, anchor_mention_rows, anchor_windows_relational,
+    build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
+    fused_anchor_mentions, fused_anchor_windows,
+    fused_sentence_hits_and_anchors, hot_hits, split_alias_dictionary,
 )
 from fact_extraction_spark.operators.mentions import resolve_redirects
 from fact_extraction_spark.operators.scoring import score_candidates
@@ -208,15 +208,22 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
         # and anti-scale at high core counts (see fused_anchor_mentions)
         mentions = fused_anchor_mentions(pages, redirect_map_bc, lang=lang)
     else:
-        anchor_mentions = fused_anchor_mentions(pages, redirect_map_bc,
-                                                lang=lang)
+        # ONE corpus pass yields both the dictionary candidates (automaton
+        # hits) and the trusted anchor mentions that build the tf-idf
+        # ranking profiles — running them as two fused UDFs costs a second
+        # full html→sentences pass over the corpus
+        head_bc = (dict_ctx["alias_bc"] if dict_ctx["mode"] == "broadcast"
+                   else dict_ctx["head_bc"])
+        sent = track(fused_sentence_hits_and_anchors(
+            pages, head_bc, redirect_map_bc, lang=lang).persist())
+        anchor_mentions = anchor_mention_rows(sent)
         if dict_ctx["mode"] == "broadcast":
-            candidates = fused_dictionary_mentions(
-                pages, dict_ctx["alias_bc"], lang=lang)
+            candidates = hot_hits(sent)
         else:
-            candidates = detect_dictionary_mentions_mapside(
-                pages, dict_ctx["head_bc"], dict_ctx["tail"], lang=lang,
-                max_tail_tokens=(cfg.max_tail_tokens if cfg else 6))
+            candidates = _mapside_union(
+                sent.select("url", "sent_id", "rel_pos", "tokens", "hits"),
+                dict_ctx["tail"],
+                (cfg.max_tail_tokens if cfg else 6))
         profiles = track(build_entity_profiles(
             anchor_mentions,
             max_profile_words=(cfg.max_profile_words if cfg else 64)).persist())

@@ -1,10 +1,23 @@
 """Two-parallelism scaling bench (the sandbox proxy for the north rule's
 N→4N executor criterion; see BASELINE.md "Engine targets").
 
-Runs the IDENTICAL KG extraction job at local[N] and local[4N] on the same
+Runs the IDENTICAL KG extraction job at two parallelism levels on the same
 cached corpus and reports throughput at both plus
 efficiency = (throughput@4N / throughput@N) / 4. Results are appended to
 BENCH/BASELINE.md.
+
+Two modes (SCALE_BENCH_MODE):
+
+* ``threads`` (default) — ``local[N]`` vs ``local[4N]``: one JVM, 4x the
+  task threads. Cheap, but conflates executor scaling with single-heap
+  GC/memory-bandwidth contention that a real multi-executor cluster does
+  not pay (BENCH/BASELINE.md round-2 analysis).
+* ``executors`` — ``local-cluster[1,C,M]`` vs ``local-cluster[4,C,M]``:
+  one vs FOUR separate executor JVMs with identical per-executor cores and
+  memory. This is the faithful sandbox proxy of the north rule's "N to 4N
+  executors" axis: each executor has its own heap, GC, python workers and
+  shuffle server; the only shared resource is the host's DRAM/IO — exactly
+  what co-located executors on a real cluster node share.
 
 Each level runs in a fresh subprocess so the JVM/session cannot leak state
 between levels.
@@ -27,13 +40,19 @@ REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", "3"))
 from fact_extraction_spark.session import get_spark
 from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
 
-cpus = int(sys.argv[1]); corpus = sys.argv[2]
-spark = get_spark("scale_bench", master=f"local[{{cpus}}]",
+master = sys.argv[1]; cpus = int(sys.argv[2]); corpus = sys.argv[3]
+conf = {{
+    "spark.sql.files.maxPartitionBytes": str(1 << 20),
+    "spark.sql.files.openCostInBytes": "0",
+}}
+if master.startswith("local-cluster"):
+    # driver runs no tasks in this mode; executor heaps come from the
+    # master string (MB per executor)
+    conf["spark.driver.memory"] = "4g"
+    conf["spark.executor.memory"] = master.rsplit(",", 1)[-1].rstrip("]") + "m"
+spark = get_spark("scale_bench", master=master,
                   shuffle_partitions=max(8, cpus),
-                  extra_conf={{
-                      "spark.sql.files.maxPartitionBytes": str(1 << 20),
-                      "spark.sql.files.openCostInBytes": "0",
-                  }})
+                  extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 t = {{n: spark.read.parquet(f"{{corpus}}/{{n}}.parquet")
      for n in ("pages", "facts", "types", "redirects", "ground_truth")}}
@@ -70,18 +89,30 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus: str) -> dict:
+def run_level(master: str, cpus: int, corpus: str) -> dict:
     code = _WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), corpus],
+        [sys.executable, "-c", code, master, str(cpus), corpus],
         capture_output=True, text=True, check=True)
     last = out.stdout.strip().splitlines()[-1]
     return json.loads(last)
 
 
 def main() -> None:
-    n_low = int(os.environ.get("SCALE_BENCH_N", "8"))
-    n_high = 4 * n_low
+    mode = os.environ.get("SCALE_BENCH_MODE", "threads")
+    if mode == "executors":
+        ec = int(os.environ.get("SCALE_BENCH_EXEC_CORES", "4"))
+        em = int(os.environ.get("SCALE_BENCH_EXEC_MEM_MB", "8192"))
+        n_low, n_high = ec, 4 * ec
+        low_master = f"local-cluster[1,{ec},{em}]"
+        high_master = f"local-cluster[4,{ec},{em}]"
+        low_label, high_label = "1 executor", "4 executors"
+    else:
+        n_low = int(os.environ.get("SCALE_BENCH_N", "8"))
+        n_high = 4 * n_low
+        low_master = f"local[{n_low}]"
+        high_master = f"local[{n_high}]"
+        low_label, high_label = f"N={n_low}", f"N={n_high}"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # materialize the shared corpus once (same generator/seed as bench.py)
@@ -93,10 +124,11 @@ def main() -> None:
     corpus, _ = bench.ensure_corpus(spark, sf)
     spark.stop()
 
-    low = run_level(n_low, corpus)
-    high = run_level(n_high, corpus)
+    low = run_level(low_master, n_low, corpus)
+    high = run_level(high_master, n_high, corpus)
     efficiency = (high["docs_per_sec"] / low["docs_per_sec"]) / (n_high / n_low)
     result = {
+        "mode": mode,
         "low": low, "high": high,
         "efficiency": round(efficiency, 4),
         "sf": sf,
@@ -119,8 +151,8 @@ def main() -> None:
                 "| efficiency |\n|---|---|---|---|---|---|\n")
         f.write(
             f"| {result['timestamp']} | {sf} | {low['pages']} "
-            f"| {low['docs_per_sec']:.1f} (N={n_low}) "
-            f"| {high['docs_per_sec']:.1f} (N={n_high}) "
+            f"| {low['docs_per_sec']:.1f} ({low_label}) "
+            f"| {high['docs_per_sec']:.1f} ({high_label}) "
             f"| {efficiency:.3f} |\n")
 
 
