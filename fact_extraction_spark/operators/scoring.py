@@ -65,6 +65,7 @@ def score_candidates(
     allow_unknown_entity_types: bool = True,
     match_threshold: float = DEFAULT_MATCH_THRESHOLD,
     type_matching: bool = True,
+    side_broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """windows (candidate context rows) → scored (subj, pred, obj, score, …).
 
@@ -124,8 +125,21 @@ def score_candidates(
                     .crossJoin(all_preds)
                     .withColumn("type_score", F.lit(None).cast("double")))
                 typed = typed.unionByName(unknown)
-            return typed.withColumnRenamed("entity", ent_col) \
+            tbl = typed.withColumnRenamed("entity", ent_col) \
                 .withColumnRenamed("type_score", f"{side}_type_score")
+            # The side table is bounded (candidate entities × admissible
+            # preds) but sits behind aggregates/unions whose size estimates
+            # Catalyst distrusts, so it plans a shuffle join — exchanging
+            # the corpus-sized candidate table both ways. Measure the real
+            # row count (one job over a dimension table) and broadcast when
+            # it is small enough: the candidate table then never shuffles
+            # and the whole scan→join→score pipeline stays in one
+            # whole-stage-codegen pass.
+            from fact_extraction_spark.caches import track
+            tbl = track(tbl.persist())
+            if tbl.count() <= side_broadcast_rows:
+                tbl = F.broadcast(tbl)
+            return tbl
 
         scored = (
             cands.join(side_scores("subject", "subject"), "subject")

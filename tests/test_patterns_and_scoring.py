@@ -212,3 +212,36 @@ def test_type_matching_disabled_scores_syntax_only(spark, tiny_mentions):
     assert rows["Eve"]["score"] == pytest.approx(0.75)  # gate skipped
     assert rows["Carl"]["score"] == pytest.approx(0.0)  # 0 slot matches
     assert set(rows) == {"Dora", "Eve", "Carl"}
+
+
+def test_side_broadcast_threshold_is_plan_only(spark, tiny_mentions):
+    """side_broadcast_rows switches the side-table join between broadcast
+    and shuffle — a physical-plan choice that must not change rows."""
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"), ("Carl", "Person"),
+         ("Dora", "Person"), ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    learned = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    from fact_extraction_spark.operators.type_patterns import learn_type_patterns
+    type_probs, rel_stats = learn_type_patterns(facts, types, 0, 0)
+    cand = spark.createDataFrame([
+        _mention("Dora", 0, 0.0, "Dora was born in Oslo .", "Oslo", 4, 4),
+        _mention("Eve", 0, 0.0, "Eve was born in Oslo .", "Oslo", 4, 4),
+        _mention("Carl", 0, 0.5, "Carl once visited Oslo happily .", "Oslo", 3, 3),
+    ], MENTIONS_DDL)
+    cw = candidate_windows(cand, window=2)
+    outs = []
+    for rows_thr in (5_000_000, 0):
+        scored = score_candidates(
+            cw, learned["pattern_words"], learned["pattern_stats"],
+            learned["pattern_types"], type_probs, rel_stats, types,
+            allow_unknown_entity_types=True, match_threshold=0.0,
+            side_broadcast_rows=rows_thr)
+        outs.append(sorted(
+            (r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+            for r in scored.collect()))
+    assert outs[0] == outs[1] and outs[0]
