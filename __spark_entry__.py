@@ -481,6 +481,46 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges).select("vertex", "component")
 
 
+def q_kg_extract_canonicalized(spark, sf_dir):
+    """End-to-end extract(canonicalize_output=True) — SURVEY §3.3 step 6
+    driver-checked (VERDICT r3 Next #3): the deterministic fixture corpus
+    plus an alias-titled mirror page ("Old_Veldt", a 2-hop redirect alias of
+    "Veldt_Harbor"); the output is the SUBJECT-SET DELTA the
+    connected-components rewrite induces vs the uncanonicalized run. The
+    expected delta is closed-form — the alias title is dropped and the
+    canonical title gained, everything else is untouched (the no-op-on-
+    clean-corpus property is pytest-asserted) — so the oracle is a VALUES
+    literal. An extraction/CC regression empties or shifts the delta and
+    hash-mismatches."""
+    from fact_extraction_spark.fixtures import (
+        corpus_to_dataframes, generate_corpus)
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    fx = generate_corpus(seed=42, n_persons=40)
+    t = corpus_to_dataframes(spark, fx, partitions=4)
+    cfg = PipelineConfig(articles_limit=0)
+    model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"],
+                  cfg, exclude_subjects=t["ground_truth"])
+    raw = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
+    # clone the first emitting page (deterministic: min url) under the
+    # alias title — its triples must surface under the canonical name
+    some_url = raw.agg(F.min("url")).collect()[0][0]
+    clone = t["pages"].filter(F.col("url") == some_url).withColumn(
+        "url", F.lit("https://en.wikipedia.org/wiki/Old_Veldt"))
+    pages2 = t["pages"].unionByName(clone)
+    cfg_on = PipelineConfig(articles_limit=0, canonicalize_output=True)
+    raw2 = extract(spark, pages2, model, t["types"], t["redirects"], cfg)
+    can2 = extract(spark, pages2, model, t["types"], t["redirects"], cfg_on)
+    raw_subj = raw2.select("subj").distinct()
+    can_subj = can2.select("subj").distinct()
+    dropped = raw_subj.exceptAll(can_subj).withColumn(
+        "change", F.lit("dropped"))
+    gained = can_subj.exceptAll(raw_subj).withColumn(
+        "change", F.lit("gained"))
+    return dropped.unionByName(gained).select("subj", "change")
+
+
 def q_dictionary_mentions(spark, sf_dir):
     """North-star mention detection: Aho-Corasick UDF over documents with a
     broadcast dictionary; oracle = token-position scan in SQL."""
@@ -551,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine_knn": q_embedding_cosine_knn,
         "connected_components": q_connected_components,
+        "kg_extract_canonicalized": q_kg_extract_canonicalized,
         "dictionary_mentions": q_dictionary_mentions,
         "dictionary_mentions_mapside": q_dictionary_mentions_mapside,
         "ngram_jaccard": q_ngram_jaccard,
@@ -787,6 +828,15 @@ def oracle_sql() -> dict[str, str]:
                        n_regionkey AS g FROM nation),
             reps AS (SELECT g, min(vertex) AS component FROM verts GROUP BY g)
             SELECT v.vertex, r.component FROM verts v JOIN reps r USING (g)
+        """,
+        "kg_extract_canonicalized": """
+            -- closed-form subject-set delta of the CC canonicalization pass
+            -- on the fixture corpus + alias-titled mirror page: the 2-hop
+            -- alias title is rewritten to the canonical page title; the
+            -- rest of the corpus is untouched (no-op property
+            -- pytest-asserted in test_canonicalize_and_snapshot.py)
+            SELECT * FROM (VALUES ('Old_Veldt', 'dropped'),
+                                  ('Veldt_Harbor', 'gained')) AS t(subj, change)
         """,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _JACCARD_ORACLE,

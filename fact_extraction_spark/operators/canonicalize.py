@@ -9,10 +9,13 @@ variants, co-mention aliases), compute connected components iteratively,
 and rewrite triple subjects/objects to each component's canonical
 representative.
 
-The CC loop is driver-coordinated min-label propagation with
-``localCheckpoint`` per iteration to cut lineage (SURVEY.md §4 item 3);
-alias chains are short, so it converges in a handful of rounds. A fixpoint
-guard caps iterations and asserts convergence (SURVEY.md §7.4).
+The CC loop is the two-phase large-star/small-star alternation (SURVEY.md §4
+item 3; Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): each round is two join+agg passes over the edge set and the round
+count is O(log diameter) — a pathological alias chain of length d converges
+in ~log₂(d) rounds where plain min-label propagation costs d. A fixpoint
+guard caps iterations and asserts convergence (SURVEY.md §7.4);
+``localCheckpoint`` per round cuts lineage.
 """
 
 from __future__ import annotations
@@ -21,51 +24,97 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(directed: DataFrame) -> DataFrame:
+    """One large-star pass over directed edges (u, v) with v < u.
+
+    For each vertex x with full neighborhood Γ(x): connect every strictly
+    LARGER neighbor y to m(x) = min(Γ(x) ∪ {x}). Output stays in the
+    (u, v), v < u orientation (m(x) ≤ x < y always)."""
+    nbrs = directed.unionByName(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star pass over directed edges (u, v) with v < u.
+
+    For each vertex x with smaller-neighbor set S(x): connect every vertex
+    of S(x) ∪ {x} to m = min(S(x)). Output keeps the v < u orientation."""
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    via_neighbors = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    via_center = mins.select("u", F.col("m").alias("v"))
+    return (
+        via_neighbors.unionByName(via_center)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     """edges(src, dst) → (vertex, component) with component = min vertex id
     (lexicographic) of the component.
 
-    Min-label propagation over the symmetrized edge set; each round is one
-    join + one aggregation. Component diameter bounds round count.
-    """
+    Large-star/small-star alternation until the edge set is stable (checked
+    with a count + order-independent hash-sum — one cheap agg instead of a
+    full set-difference per round). At convergence the graph is a disjoint
+    union of stars centered at each component's min vertex, so the label
+    table reads straight off the final edge set."""
     sym = (
         edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .cache()
     )
-    labels = (
+    vertices = (
         sym.select(F.col("src").alias("vertex"))
+        .unionByName(sym.select(F.col("dst").alias("vertex")))
         .distinct()
-        .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    # canonical orientation: (u, v) with v < u
+    directed = (
+        sym.select(F.greatest("src", "dst").alias("u"),
+                   F.least("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(d: DataFrame) -> tuple:
+        # crc32 (32-bit) summed into a long: overflow-free under ANSI mode
+        # for any realistic edge count, order-independent, and collisions
+        # are guarded by the count component
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("|", "u", "v"))).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(directed)
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.vertex)
-            .groupBy("src").agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
-            .select(
-                "vertex",
-                F.least(F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component"))
-                        ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("changed"),
-            )
-        )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("changed")).limit(1).count()
-        labels = updated.drop("changed")
-        if changed == 0:
+        directed = _small_star(_large_star(directed)) \
+            .localCheckpoint(eager=True)
+        new_sig = _signature(directed)
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds")
-    return labels
+    # stars: every non-root vertex u carries exactly one edge (u, root)
+    return (
+        vertices.join(directed.withColumnRenamed("u", "vertex"),
+                      "vertex", "left")
+        .select("vertex",
+                F.coalesce(F.col("v"), F.col("vertex")).alias("component"))
+    )
 
 
 def build_equivalence_edges(redirects: DataFrame,

@@ -112,19 +112,38 @@ def learn_lexical_patterns(
     types: DataFrame,
     least_threshold_words: float = 2,
     least_threshold_types: float = 1,
+    join_strategy: str = "broadcast",
+    salt_hot_min_count: int = 100_000,
 ) -> dict[str, DataFrame]:
     """Join mention windows to distant-supervision facts and aggregate.
 
     The join ``(subject==subj) & (object==obj)`` is the potentially skewed
-    one (hub objects like country pages); the facts side is capped and
-    small, so we broadcast it — no shuffle of the corpus-sized window table,
-    and skew is irrelevant to a broadcast hash join.
+    one (hub objects like country pages). With the default
+    ``join_strategy="broadcast"`` the facts side is capped and small, so we
+    broadcast it — no shuffle of the corpus-sized window table, and skew is
+    irrelevant to a broadcast hash join. With ``join_strategy="salted"``
+    (for uncapped fact sets too big to broadcast — facts_limit=0 over a full
+    KB) the join takes the explicit skew-split path (SURVEY north star
+    "salted joins + AQE"): mega-entity keys above ``salt_hot_min_count``
+    window rows are salted across tasks with the fact side replicated only
+    for those keys; the long tail takes the plain shuffle join.
     """
-    fk = F.broadcast(training_facts.select(
-        F.col("subj").alias("subject"), "pred", F.col("obj").alias("object")))
-    # matched feeds two aggregates, instances three — persist both so the
-    # mention/window chain upstream executes once (fan-out hygiene)
-    matched = windows.join(fk, ["subject", "object"]).persist()  # adds pred
+    if join_strategy == "salted":
+        from fact_extraction_spark.operators.salting import (
+            hot_keys, skew_split_join)
+        fk_plain = training_facts.select(
+            F.col("subj").alias("subject"), "pred",
+            F.col("obj").alias("object"))
+        hot = hot_keys(windows, ["subject", "object"], salt_hot_min_count)
+        matched = skew_split_join(
+            windows, fk_plain, ["subject", "object"], hot=hot).persist()
+    else:
+        fk = F.broadcast(training_facts.select(
+            F.col("subj").alias("subject"), "pred",
+            F.col("obj").alias("object")))
+        # matched feeds two aggregates, instances three — persist both so the
+        # mention/window chain upstream executes once (fan-out hygiene)
+        matched = windows.join(fk, ["subject", "object"]).persist()  # adds pred
 
     # one row per covered sentence-extraction instance (url, sent, obj, pred)
     instances = matched.select(

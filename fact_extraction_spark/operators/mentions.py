@@ -691,12 +691,15 @@ SENTENCE_HITS_SCHEMA = ArrayType(StructType([
 
 
 def fused_sentence_hits(pages: DataFrame, head_bc,
-                        lang: str | None = "en") -> DataFrame:
+                        lang: str | None = "en",
+                        include_unanchored: bool = False) -> DataFrame:
     """pages(html) → one row per sentence: (url, sent_id, rel_pos, tokens,
     hits) where ``hits`` are the hot-head automaton matches (possibly
-    empty — every sentence is emitted so the tail n-gram join sees the full
-    corpus). Same per-executor automaton cache as the broadcast path, but
-    the broadcast payload is the bounded head, not the full dictionary."""
+    empty — every EXTRACTED sentence is emitted so the tail n-gram join
+    sees them all; ``include_unanchored`` lifts the reference-parity
+    keeps-a-link sentence filter for anchor-free web text). Same
+    per-executor automaton cache as the broadcast path, but the broadcast
+    payload is the bounded head, not the full dictionary."""
     from fact_extraction_spark.textops.wikitext import (
         extract_article_text, extract_sentences)
 
@@ -716,7 +719,9 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
                 (bytes(b) if b is not None else b"").decode(
                     "utf-8", errors="replace"))
             out = []
-            for sent_id, r in enumerate(extract_sentences(text)):
+            for sent_id, r in enumerate(
+                    extract_sentences(text,
+                                      include_unanchored=include_unanchored)):
                 tokens = tokenize(r["sentence"] or "")
                 hits = [(s, e, alias, entity)
                         for s, e, (alias, entity) in ac.find(tokens)]
@@ -806,7 +811,9 @@ SENTENCE_HITS_ANCHORS_SCHEMA = ArrayType(StructType([
 
 def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                                     redirect_map_bc,
-                                    lang: str | None = "en") -> DataFrame:
+                                    lang: str | None = "en",
+                                    include_unanchored: bool = False
+                                    ) -> DataFrame:
     """ONE corpus pass emitting BOTH dictionary-automaton hits and
     redirect-resolved anchor mentions per sentence.
 
@@ -838,7 +845,9 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                 (bytes(b) if b is not None else b"").decode(
                     "utf-8", errors="replace"))
             out = []
-            for sent_id, r in enumerate(extract_sentences(text)):
+            for sent_id, r in enumerate(
+                    extract_sentences(text,
+                                      include_unanchored=include_unanchored)):
                 tokens = tokenize(r["sentence"] or "")
                 hits = [(s, e, alias, entity)
                         for s, e, (alias, entity) in ac.find(tokens)]

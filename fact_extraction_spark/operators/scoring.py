@@ -35,6 +35,35 @@ DEFAULT_MATCH_THRESHOLD = 0.005  # fact_extractor.py:18 (config default 0.5)
 CAND_KEY = ["url", "sent_id", "subject", "object"]
 
 
+def _slot_key(slot_col, word_col):
+    """(slot, word) → int64 via xxhash64 — the match-count join key.
+
+    Strings dominate the byte volume of the candidate table (the job is
+    memory-bandwidth-bound at high core counts, BENCH/BASELINE.md); an
+    8-byte hash shrinks the scoring persist and makes ``array_intersect``
+    integer codegen instead of string comparison. Collisions would need two
+    distinct (slot, word) pairs sharing a 64-bit hash inside one relation's
+    learned vocabulary (≤ ~10^5 keys) — probability < 10^-9, and the effect
+    would be one spurious match count, not a wrong join."""
+    return F.xxhash64(slot_col.cast("int"), word_col)
+
+
+def hashed_slot_keys():
+    """Column expression: nested ``slots`` → ``array<bigint>`` of hashed
+    (slot, word) keys."""
+    return F.transform("slots", lambda s: _slot_key(s["slot"], s["word"]))
+
+
+def slim_score_windows(windows: DataFrame) -> DataFrame:
+    """Project candidate windows to the minimal schema scoring needs, with
+    the slot words hash-encoded. extract() persists THIS instead of the full
+    nested-string windows: the persist and every scan over it then carry
+    8 bytes per slot instead of a string word (learn() keeps the full
+    slots — pattern learning needs the actual words)."""
+    return windows.select(*CAND_KEY, "rel_pos", "n_slots",
+                          hashed_slot_keys().alias("slot_keys"))
+
+
 def _entity_side_scores(types: DataFrame, type_probs: DataFrame, side: str) -> DataFrame:
     """(entity, pred, prob_sum) — Σ P(rel|type) over the entity's types."""
     side_probs = F.broadcast(
@@ -80,17 +109,19 @@ def score_candidates(
     """
     # windows hold ONE nested row per candidate (unique by construction in
     # fused_anchor_windows / candidate_windows) — no corpus-wide distinct.
-    # ``slot_keys`` serializes each filled slot as "slot:word" so the match
-    # count is a codegen array_intersect against a broadcast per-relation
-    # key array — NOT an explode + broadcast-join + groupBy(count) + join
-    # back, which costs two corpus-sized shuffles and was the dominant
-    # allocation source at high core counts (BENCH/BASELINE.md round-2
-    # task-time-inflation analysis). The ':' separator is unambiguous: the
-    # slot is an integer (no ':'), so the first ':' always delimits.
-    cands = windows.select(
-        *CAND_KEY, "rel_pos", "n_slots",
-        F.transform("slots", lambda s: F.concat_ws(
-            ":", s["slot"].cast("string"), s["word"])).alias("slot_keys"))
+    # ``slot_keys`` hash-encodes each filled slot (slot, word) to int64 so
+    # the match count is a codegen array_intersect of LONG arrays against a
+    # broadcast per-relation key array — NOT an explode + broadcast-join +
+    # groupBy(count) + join back, which costs two corpus-sized shuffles and
+    # was the dominant allocation source at high core counts
+    # (BENCH/BASELINE.md round-2 task-time-inflation analysis). A caller
+    # that pre-projected via ``slim_score_windows`` already carries
+    # slot_keys and no slots column at all.
+    if "slot_keys" in windows.columns:
+        cands = windows.select(*CAND_KEY, "rel_pos", "n_slots", "slot_keys")
+    else:
+        cands = windows.select(*CAND_KEY, "rel_pos", "n_slots",
+                               hashed_slot_keys().alias("slot_keys"))
 
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
 
@@ -154,8 +185,7 @@ def score_candidates(
     # ---- syntax score (|candidate ∩ learned (slot, word) pairs|) ----
     pattern_keys = F.broadcast(
         pattern_words.groupBy("pred").agg(
-            F.collect_list(F.concat_ws(
-                ":", F.col("slot").cast("string"), F.col("word")))
+            F.collect_list(_slot_key(F.col("slot"), F.col("word")))
             .alias("learned_keys")))
     stats = F.broadcast(pattern_stats.filter(F.col("total_words") > 0))
     scored = scored.join(stats, "pred").join(pattern_keys, "pred", "left")

@@ -175,25 +175,31 @@ def normalize_sentence(sentence: str) -> str:
     return " ".join(kept)
 
 
-def extract_sentences(html_text: str) -> list[dict]:
+def extract_sentences(html_text: str,
+                      include_unanchored: bool = False) -> list[dict]:
     """Full stage-1b: article pseudo-HTML → sentence rows.
 
     Returns dicts ``{paragraph_idx, rel_pos, sentence, anchors}`` where
     ``rel_pos = paragraph_idx / paragraph_count`` (zero-based, as in
     ``tagged_sentence.py:138-139``) and ``anchors`` is the paragraph's
-    ``(href, text)`` list. Only sentences that contain at least one anchor
-    text verbatim are kept (``tagged_sentence.py:156,167-173``).
+    ``(href, text)`` list. By default only sentences that contain at least
+    one anchor text verbatim are kept (``tagged_sentence.py:156,167-173`` —
+    the reference-parity keeps-a-link filter). ``include_unanchored=True``
+    keeps every sentence (anchors possibly empty) — Common-Crawl-style
+    pages carry no wiki anchors at all, and dictionary-mode detection
+    (pipeline cfg ``dictionary_scan_unanchored``) must be able to scan
+    them.
     """
     paragraphs = extract_paragraphs(html_text)
     n = len(paragraphs)
     rows: list[dict] = []
     for i, para in enumerate(paragraphs):
         anchors = paragraph_anchors(para)
-        if not anchors:
+        if not anchors and not include_unanchored:
             continue
         plain = paragraph_text(para)
         for sent in split_paragraph_sentences(plain):
-            if any(text in sent for _, text in anchors):
+            if include_unanchored or any(text in sent for _, text in anchors):
                 rows.append(
                     {
                         "paragraph_idx": i,

@@ -18,6 +18,19 @@ def test_connected_components_chain_and_islands(spark):
     assert comps["a"] != comps["x"]
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    # a 64-hop alias chain: plain min-label propagation needs ~64 rounds;
+    # the large-star/small-star alternation must land it in O(log d)
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n)],
+        "src string, dst string")
+    comps = connected_components(edges, max_iterations=12)
+    vals = {r["component"] for r in comps.collect()}
+    assert vals == {"v000"}
+    assert comps.count() == n + 1
+
+
 def test_canonical_mapping_prefers_titles(spark, tables):
     edges = build_equivalence_edges(tables["redirects"])
     titles = spark.createDataFrame([("Veldt_Harbor",), ("Grandmere_City",)],

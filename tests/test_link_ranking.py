@@ -72,6 +72,57 @@ def test_profile_word_cap_bounds_hot_entities(spark):
     assert profiles.filter(F.col("entity") == "Hub").count() == 5
 
 
+def test_pipeline_ambiguity_split_ranks_only_ambiguous(spark):
+    """The dictionary pipeline's ambiguity split (pipeline._build_dict_ctx /
+    _page_mentions): hits on an ambiguous alias still go through tf-idf
+    ranking and land on the contextually right entity; hits on unambiguous
+    aliases pass through the ranking bypass unchanged."""
+    from fact_extraction_spark.operators.mentions import collect_redirect_map
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, _build_dict_ctx, _page_mentions)
+
+    def page(title, body):
+        return (f"https://en.wikipedia.org/wiki/{title}",
+                body.encode(), "en")
+
+    pages = spark.createDataFrame([
+        page("France_Guide",
+             "The [[Paris city|paris]] is the capital of france today .\n\n"
+             "Tail paragraph here."),
+        page("Troy_Guide",
+             "In myth [[Paris myth|paris]] was a prince of troy .\n\n"
+             "Tail paragraph here."),
+        page("Notes",
+             "Many visit paris for the capital of france .\n\n"
+             "Tail paragraph here."),
+        page("Lyon_Notes",
+             "Some prefer lyon instead .\n\nTail paragraph here."),
+    ], "url string, html binary, lang string")
+    redirects = spark.createDataFrame(
+        [("paris", "Paris_city"), ("paris", "Paris_myth"),
+         ("lyon", "Lyon_city")],
+        "alias string, target string")
+
+    # scan_unanchored: the Notes/Lyon pages carry no anchor links at all
+    # (Common-Crawl shape) — the keeps-a-link filter would drop them
+    cfg = PipelineConfig(mention_mode="dictionary",
+                         dictionary_strategy="broadcast",
+                         dictionary_scan_unanchored=True)
+    ctx = _build_dict_ctx(spark, pages, redirects, cfg)
+    # only the two-target alias is marked ambiguous
+    assert {r["alias"] for r in ctx["ambiguous"].collect()} == {"paris"}
+
+    rmap = collect_redirect_map(spark, redirects)
+    mentions = _page_mentions(pages, rmap, "en", ctx, cfg)
+    notes = {r["entity"] for r in mentions.filter(
+        F.col("url").endswith("/Notes")).collect()}
+    assert "Paris_city" in notes          # tf-idf picked the capital sense
+    assert "Paris_myth" not in notes
+    lyon = {r["entity"] for r in mentions.filter(
+        F.col("url").endswith("/Lyon_Notes")).collect()}
+    assert "Lyon_city" in lyon            # unambiguous bypass
+
+
 def test_dictionary_mode_end_to_end_parity(spark, tables):
     """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the
     same P/R bar as anchor-parity mode on the fixture corpus."""

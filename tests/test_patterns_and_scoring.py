@@ -64,6 +64,30 @@ def test_learn_patterns_merge_is_groupby(spark, tiny_mentions):
     assert ptypes[("object", "City")] == 2
 
 
+def test_salted_training_join_matches_broadcast(spark, tiny_mentions):
+    # the salted skew-split path (training_join_strategy="salted") must be
+    # row-identical to the broadcast join across every learned table —
+    # salt_hot_min_count=1 forces EVERY key through the salted (hot) branch
+    # so both the salted and the plain-cold legs are exercised
+    facts = spark.createDataFrame(
+        [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("Alice", "Person"), ("Bob", "Person"),
+         ("Oslo", "City"), ("Paris", "City")],
+        "entity string, type string")
+    w = candidate_windows(tiny_mentions, window=2)
+    base = learn_lexical_patterns(w, facts, types, least_threshold_words=2)
+    for min_count in (1, 100):  # all-hot and all-cold splits
+        salted = learn_lexical_patterns(
+            w, facts, types, least_threshold_words=2,
+            join_strategy="salted", salt_hot_min_count=min_count)
+        for tbl in ("pattern_words", "pattern_stats", "pattern_types"):
+            a = sorted(map(tuple, base[tbl].collect()))
+            b = sorted(map(tuple, salted[tbl].collect()))
+            assert a == b, (tbl, min_count)
+
+
 def test_scoring_separates_true_match_from_distractor(spark, tiny_mentions):
     facts = spark.createDataFrame(
         [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
