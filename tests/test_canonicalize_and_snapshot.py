@@ -1,5 +1,6 @@
 """Connected-components canonicalization + snapshot/lineage resume."""
 
+import pytest
 from fact_extraction_spark.operators.canonicalize import (
     build_equivalence_edges, canonical_mapping, canonicalize_triples,
     connected_components,
@@ -112,6 +113,7 @@ def test_snapshot_resume_no_dupes_no_gaps(spark, tmp_path):
     assert r3["parts"] == 0
 
 
+@pytest.mark.slow
 def test_pipeline_canonicalize_output_flag(spark, tables):
     """cfg.canonicalize_output wires canonicalization into extract()
     (SURVEY §3.3 step 6): an alias-titled mirror page's triples surface

@@ -7,6 +7,9 @@ from pyspark.sql import functions as F
 from fact_extraction_spark.plans.evaluate import assert_no_leak, evaluate
 from fact_extraction_spark.plans.pipeline import PipelineConfig, extract, learn
 
+# full learn+extract integration: the slow half of the gate (pytest -m slow)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model_and_triples(spark, tables):

@@ -40,7 +40,15 @@ def _rows(df_rows, columns):
         tuple(_norm(r[c]) for c in cols) for r in df_rows)
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+# queries that run the full learn+extract pipeline (twice for the
+# canonicalization delta) — slow half of the gate
+_SLOW_QUERIES = {"kg_extract_canonicalized"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_QUERIES
+     else n for n in sorted(entry_mod.queries().keys())])
 def test_query_matches_oracle(spark, ddb, name):
     fn = entry_mod.queries()[name]
     got_df = fn(spark, SF_DIR)
@@ -59,6 +67,7 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+@pytest.mark.slow
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

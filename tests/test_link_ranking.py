@@ -1,5 +1,6 @@
 """Stage 2b: tf-idf context-similarity candidate ranking (north star)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fact_extraction_spark.operators.link_ranking import (
@@ -123,6 +124,7 @@ def test_pipeline_ambiguity_split_ranks_only_ambiguous(spark):
     assert "Lyon_city" in lyon            # unambiguous bypass
 
 
+@pytest.mark.slow
 def test_dictionary_mode_end_to_end_parity(spark, tables):
     """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the
     same P/R bar as anchor-parity mode on the fixture corpus."""

@@ -1,5 +1,6 @@
 """Stage-2 mention detection: AC automaton, anchor tagging, redirects."""
 
+import pytest
 from fact_extraction_spark.operators.extract_text import explode_sentences, extract_text
 from fact_extraction_spark.operators.mentions import (
     build_alias_table,
@@ -211,6 +212,7 @@ def test_anchor_windows_relational_equals_broadcast(spark, tables):
     assert a == b and a
 
 
+@pytest.mark.slow
 def test_pipeline_join_redirect_strategy_matches_broadcast(spark, tables):
     """Full learn+extract under redirect_strategy="join" emits the same
     triples as the default broadcast strategy (and never builds the

@@ -238,6 +238,7 @@ def test_type_matching_disabled_scores_syntax_only(spark, tiny_mentions):
     assert set(rows) == {"Dora", "Eve", "Carl"}
 
 
+@pytest.mark.slow
 def test_side_broadcast_threshold_is_plan_only(spark, tiny_mentions):
     """side_broadcast_rows switches the side-table join between broadcast
     and shuffle — a physical-plan choice that must not change rows."""

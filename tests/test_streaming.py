@@ -21,6 +21,7 @@ def page_batches(spark, corpus, tables):
     return pages, first, second
 
 
+@pytest.mark.slow
 def test_incremental_ingest_exactly_once(spark, tables, page_batches, tmp_path):
     pages, first, second = page_batches
     in_dir = str(tmp_path / "pages")
@@ -53,6 +54,7 @@ def test_incremental_ingest_exactly_once(spark, tables, page_batches, tmp_path):
     assert total == expected
 
 
+@pytest.mark.slow
 def test_windowed_counts_with_watermark(spark, tables, page_batches, tmp_path):
     """The watermarked rolling aggregate runs on the stream (availableNow)
     and matches the batch groupBy on the same data."""
