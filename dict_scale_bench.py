@@ -1,17 +1,20 @@
-"""Dictionary-strategy crossover bench (VERDICT r3 Next #6).
+"""Dictionary-strategy crossover bench (VERDICT r3 Next #6, r4 Next #6).
 
 Validates the ``dictionary_strategy="auto"`` switch point (PipelineConfig
-.dictionary_auto_threshold, default 200k pairs) against a dictionary that
-actually exceeds it: the scale corpus (SPARK_GRAFT_BENCH_PERSONS persons →
-~1.6M pages at the round-3 setting) yields one (alias, entity) pair per
-page title plus the redirect aliases — far past the threshold — so
-"mapside" must win there, while the small per-round bench dictionary
-(~5k pairs) keeps "broadcast" ahead.
+.dictionary_auto_threshold) by MEASURING the broadcast-vs-mapside crossover
+instead of bracketing it: the scale corpus's full alias dictionary (~400k
+pairs at the round-4 setting) is deterministically subsampled to a sweep of
+sizes (env ``DICT_BENCH_KEEP_MODS``, default "32,8,4,2,1" → pairs/32 …
+all pairs) on the SAME fixed corpus, and both strategies run at every size.
+The crossover point — where mapside's fixed n-gram-join overhead is first
+amortized by the shrinking broadcast/automaton cost advantage — is where
+``dictionary_auto_threshold`` should sit.
 
 Measures mention-DETECTION wall time (the part the strategy controls:
 fused sentence pass + automaton hits [+ n-gram tail join] + ambiguity
-split + any ranking) for both strategies on the same cached corpus, and
-appends a row to BENCH/BASELINE.md.
+split + any ranking) and appends a sweep table to BENCH/BASELINE.md.
+Per-strategy mention counts are recorded at every size — the two paths
+must agree row-for-row, a free equivalence check.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     import bench
+    from pyspark.sql import functions as F
     from fact_extraction_spark.caches import release as release_caches
     from fact_extraction_spark.operators.mentions import (
         build_alias_candidates, collect_redirect_map)
@@ -36,6 +40,8 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    keep_mods = [int(m) for m in
+                 os.environ.get("DICT_BENCH_KEEP_MODS", "32,8,4,2,1").split(",")]
     sf = bench._sf_from_dir(sf_dir)
     spark = get_spark("dict_scale_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
@@ -48,36 +54,57 @@ def main() -> None:
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     redirects = spark.read.parquet(f"{corpus}/redirects.parquet")
     n_pages = pages.count()
-    n_pairs = build_alias_candidates(pages, redirects).count()
+    full_cands = build_alias_candidates(pages, redirects)
     rmap_bc = collect_redirect_map(spark, redirects)
+    threshold = PipelineConfig().dictionary_auto_threshold
 
-    results = {}
-    for strategy in ("broadcast", "mapside"):
-        cfg = PipelineConfig(mention_mode="dictionary",
-                             dictionary_strategy=strategy)
-        t0 = time.time()
-        ctx = _build_dict_ctx(spark, pages, redirects, cfg)
-        n_mentions = _page_mentions(pages, rmap_bc, "en", ctx, cfg).count()
-        results[strategy] = round(time.time() - t0, 2)
-        release_caches()
-    winner = min(results, key=results.get)
-    auto_pick = ("broadcast" if n_pairs <= PipelineConfig()
-                 .dictionary_auto_threshold else "mapside")
-    out = {"pages": n_pages, "pairs": n_pairs, "mentions": n_mentions,
-           "broadcast_sec": results["broadcast"],
-           "mapside_sec": results["mapside"],
-           "winner": winner, "auto_picks": auto_pick,
-           "auto_correct": winner == auto_pick,
+    sweep = []
+    for mod in keep_mods:
+        # deterministic subsample BY ALIAS (xxhash64 % mod) so every
+        # candidate entity of a kept alias rides along — ambiguity preserved
+        cands = (full_cands if mod == 1 else full_cands.filter(
+            F.pmod(F.xxhash64("alias"), F.lit(mod)) == 0))
+        n_pairs = cands.count()
+        results, mention_counts = {}, {}
+        for strategy in ("broadcast", "mapside"):
+            cfg = PipelineConfig(mention_mode="dictionary",
+                                 dictionary_strategy=strategy)
+            t0 = time.time()
+            ctx = _build_dict_ctx(spark, pages, redirects, cfg, cands=cands)
+            mention_counts[strategy] = _page_mentions(
+                pages, rmap_bc, "en", ctx, cfg).count()
+            results[strategy] = round(time.time() - t0, 2)
+            release_caches()
+        winner = min(results, key=results.get)
+        auto_pick = "broadcast" if n_pairs <= threshold else "mapside"
+        row = {"keep_mod": mod, "pairs": n_pairs,
+               "mentions_broadcast": mention_counts["broadcast"],
+               "mentions_mapside": mention_counts["mapside"],
+               "mentions_equal":
+                   mention_counts["broadcast"] == mention_counts["mapside"],
+               "broadcast_sec": results["broadcast"],
+               "mapside_sec": results["mapside"],
+               "winner": winner, "auto_picks": auto_pick,
+               "auto_correct": winner == auto_pick}
+        sweep.append(row)
+        print(json.dumps(row))
+
+    out = {"pages": n_pages, "threshold": threshold, "sweep": sweep,
            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\nDictionary-strategy crossover ({out['timestamp']}): "
-            f"{n_pages} pages, {n_pairs} alias pairs, "
-            f"broadcast {results['broadcast']} s vs mapside "
-            f"{results['mapside']} s → winner {winner}; auto (threshold "
-            f"{PipelineConfig().dictionary_auto_threshold}) picks "
-            f"{auto_pick} ({'correct' if out['auto_correct'] else 'WRONG'}).\n")
+            f"\nDictionary-strategy crossover sweep ({out['timestamp']}): "
+            f"{n_pages} pages, fixed corpus, dictionary subsampled by "
+            f"alias-hash; auto threshold {threshold} pairs.\n\n"
+            "| pairs | broadcast s | mapside s | winner | auto picks | "
+            "mentions equal |\n|---|---|---|---|---|---|\n")
+        for r in sweep:
+            f.write(f"| {r['pairs']} | {r['broadcast_sec']} "
+                    f"| {r['mapside_sec']} | {r['winner']} "
+                    f"| {r['auto_picks']}"
+                    f"{'' if r['auto_correct'] else ' (WRONG)'} "
+                    f"| {'yes' if r['mentions_equal'] else 'NO'} |\n")
     spark.stop()
 
 

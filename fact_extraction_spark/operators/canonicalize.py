@@ -88,12 +88,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     )
 
     def _signature(d: DataFrame) -> tuple:
-        # crc32 (32-bit) summed into a long: overflow-free under ANSI mode
-        # for any realistic edge count, order-independent, and collisions
-        # are guarded by the count component
+        # xxhash64 summed order-independently: a wrong early break needs
+        # two distinct equal-count edge sets whose 64-bit hash sums collide
+        # (~2^-64 — vs crc32's 2^-32, which is reachable at 10^12-doc edge
+        # counts). Summed as decimal(38,0) so ANSI mode cannot overflow on
+        # adjacent near-2^63 values; still one cheap 2-value aggregate.
         row = d.agg(
             F.count("*").alias("n"),
-            F.sum(F.crc32(F.concat_ws("|", "u", "v"))).alias("h")
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
         ).collect()[0]
         return (row["n"], row["h"])
 

@@ -124,9 +124,11 @@ def learn_lexical_patterns(
     irrelevant to a broadcast hash join. With ``join_strategy="salted"``
     (for uncapped fact sets too big to broadcast — facts_limit=0 over a full
     KB) the join takes the explicit skew-split path (SURVEY north star
-    "salted joins + AQE"): mega-entity keys above ``salt_hot_min_count``
-    window rows are salted across tasks with the fact side replicated only
-    for those keys; the long tail takes the plain shuffle join.
+    "salted joins + AQE"): mega-entity keys with at least
+    ``salt_hot_min_count`` window rows (``>=``, matching
+    ``salting.hot_keys``) are salted across tasks with the fact side
+    replicated only for those keys; the long tail takes the plain shuffle
+    join.
     """
     if join_strategy == "salted":
         from fact_extraction_spark.operators.salting import (

@@ -36,7 +36,8 @@ from fact_extraction_spark.operators.link_ranking import (
     build_entity_profiles, compute_idf, disambiguate_mentions,
 )
 from fact_extraction_spark.operators.mentions import (
-    _mapside_union, anchor_mention_rows, anchor_windows_relational,
+    _mapside_union, alias_join_keys, anchor_mention_rows,
+    anchor_windows_relational,
     build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
     fused_anchor_mentions, fused_anchor_windows,
     fused_sentence_hits_and_anchors, hot_hits, split_alias_dictionary,
@@ -112,12 +113,19 @@ class PipelineConfig:
     #   dictionary sizes where a per-executor Python dict stops being sane.
     redirect_strategy: str = "broadcast"
     # windows⋈training-facts join strategy (SURVEY north star "salted joins
-    # + AQE"): "broadcast" (default — the capped fact table is small) or
-    # "salted" for uncapped fact sets too big to broadcast, which routes
-    # mega-entity keys (> salt_hot_min_count window rows) through the
-    # explicit skew-split salted join while the tail shuffle-joins plainly.
-    # AQE skew-join (on in session.py) remains the runtime backstop.
-    training_join_strategy: str = "broadcast"
+    # + AQE"): "broadcast" (the capped fact table is small), "salted" for
+    # uncapped fact sets too big to broadcast — routes mega-entity keys
+    # (>= salt_hot_min_count window rows) through the explicit skew-split
+    # salted join while the tail shuffle-joins plainly — or "auto"
+    # (default), which mirrors the dictionary auto switch: ONE count over
+    # the already-cached capped fact table picks broadcast below
+    # training_join_auto_threshold rows and salted above it. AQE skew-join
+    # (on in session.py) remains the runtime backstop either way.
+    training_join_strategy: str = "auto"
+    # rows; ~(subj,pred,obj) triples broadcast comfortably well past 10^6 —
+    # at 2M short-string rows the broadcast is O(100 MB), still cheaper
+    # than shuffling a corpus-sized window table
+    training_join_auto_threshold: int = 2_000_000
     salt_hot_min_count: int = 100_000
     # config-default.ini:19 — 0 means learn type patterns over ALL facts
     type_learner_facts_limit: int = 0
@@ -167,21 +175,35 @@ class LearnedModel:
 
 
 def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
-                    redirects: DataFrame, cfg: "PipelineConfig") -> dict:
-    """Dictionary-mode detection context per cfg.dictionary_strategy."""
-    cands = build_alias_candidates(pages, redirects)
+                    redirects: DataFrame, cfg: "PipelineConfig",
+                    cands: DataFrame | None = None) -> dict:
+    """Dictionary-mode detection context per cfg.dictionary_strategy.
+
+    ``cands`` overrides the derived (alias, entity) candidate table —
+    used by dict_scale_bench.py to sweep dictionary sizes on a fixed
+    corpus when locating the broadcast/mapside crossover."""
+    if cands is None:
+        cands = build_alias_candidates(pages, redirects)
     # AMBIGUITY is a dictionary-side property: an alias needs tf-idf
-    # disambiguation iff it maps to >1 entity, and a hit span's alias IS
-    # its matched token sequence, so span-ambiguity == alias-ambiguity.
-    # One agg over the dimension table marks the ambiguous aliases; every
-    # hit on an unambiguous alias then bypasses the whole ranking subplan
-    # (profiles, idf, context vectors, cosine, per-span window) with
-    # identical semantics — top-1 of a single candidate is that candidate
-    # regardless of score.
+    # disambiguation iff its MATCH KEY maps to >1 entity. Matching happens
+    # in token space (the automaton keys tokenized aliases; the mapside
+    # tail joins on the tokenizer-space ``key``), so two distinct alias
+    # strings that tokenize identically ("Foo -Bar" / "Foo - Bar") hit the
+    # same span — grouping by the raw alias string would class each as
+    # unambiguous and emit both entities for one mention. Group by the
+    # tokenized key instead, then project back to alias strings so the
+    # hit-side split below stays a broadcast semi/anti join on ``alias``.
+    # Two dimension-table aggs; every hit on an unambiguous key bypasses
+    # the whole ranking subplan (profiles, idf, context vectors, cosine,
+    # per-span window) with identical semantics — top-1 of a single
+    # candidate is that candidate regardless of score.
+    keyed = alias_join_keys(cands)
+    amb_keys = (keyed.groupBy("key")
+                .agg(F.countDistinct("entity").alias("_n"))
+                .filter(F.col("_n") > 1).select("key"))
     ambiguous = track(
-        cands.groupBy("alias")
-        .agg(F.countDistinct("entity").alias("_n"))
-        .filter(F.col("_n") > 1).select("alias")
+        keyed.join(F.broadcast(amb_keys), "key", "left_semi")
+        .select("alias").distinct()
         .persist())
     strategy = cfg.dictionary_strategy
     if strategy == "auto":
@@ -350,11 +372,21 @@ def learn(
     # capped extract, VERDICT r2 #3) — one count() materializes it once.
     track(windows).count()
 
+    join_strategy = cfg.training_join_strategy
+    if join_strategy == "auto":
+        # one count over the already-cached capped fact table decides;
+        # mirrors the dictionary auto switch (_build_dict_ctx)
+        n_facts = training_facts.count()
+        join_strategy = ("broadcast"
+                         if n_facts <= cfg.training_join_auto_threshold
+                         else "salted")
+        logger.info("training_join_strategy=auto: %d capped facts -> %s",
+                    n_facts, join_strategy)
     learned = learn_lexical_patterns(
         windows, training_facts, types,
         least_threshold_words=cfg.least_threshold_words,
         least_threshold_types=cfg.least_threshold_types,
-        join_strategy=cfg.training_join_strategy,
+        join_strategy=join_strategy,
         salt_hot_min_count=cfg.salt_hot_min_count,
     )
     # type patterns are learned over the full fact set by default, as the

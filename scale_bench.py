@@ -81,10 +81,15 @@ for _ in range(REPEATS):
     triples = extract(spark, t["pages"], model, t["types"], t["redirects"], cfg)
     n = triples.count()
     runs.append(time.time() - t0)
-dt = min(runs)
+runs_sorted = sorted(runs)
+dt_best = runs_sorted[0]
+dt_median = runs_sorted[len(runs_sorted) // 2]
 print(json.dumps({{"cpus": cpus, "pages": n_pages, "triples": n,
-                   "extract_sec": dt, "extract_runs": [round(r, 2) for r in runs],
-                   "docs_per_sec": n_pages / dt}}))
+                   "extract_sec": dt_best,
+                   "extract_sec_median": dt_median,
+                   "extract_runs": [round(r, 2) for r in runs],
+                   "docs_per_sec": n_pages / dt_best,
+                   "docs_per_sec_median": n_pages / dt_median}}))
 spark.stop()
 """
 
@@ -124,13 +129,36 @@ def main() -> None:
     corpus, _ = bench.ensure_corpus(spark, sf)
     spark.stop()
 
-    low = run_level(low_master, n_low, corpus)
-    high = run_level(high_master, n_high, corpus)
+    # INVOCATION-level repeats (VERDICT r4 Next #1a/#2): each run_level
+    # call is a fresh subprocess/JVM holding SCALE_BENCH_REPEATS warm
+    # in-JVM repeats; we additionally alternate low/high invocations so
+    # ambient host noise hits both levels symmetrically, then report the
+    # median and the best across all readings per level.
+    invocations = int(os.environ.get("SCALE_BENCH_INVOCATIONS", "3"))
+    lows, highs = [], []
+    for i in range(invocations):
+        lows.append(run_level(low_master, n_low, corpus))
+        highs.append(run_level(high_master, n_high, corpus))
+
+    def _collapse(readings: list[dict]) -> dict:
+        base = dict(readings[0])
+        best = [r["docs_per_sec"] for r in readings]
+        med = sorted(r["docs_per_sec_median"] for r in readings)
+        base["docs_per_sec"] = max(best)            # best across invocations
+        base["docs_per_sec_median"] = med[len(med) // 2]
+        base["all_runs"] = [r["extract_runs"] for r in readings]
+        return base
+
+    low, high = _collapse(lows), _collapse(highs)
     efficiency = (high["docs_per_sec"] / low["docs_per_sec"]) / (n_high / n_low)
+    eff_median = ((high["docs_per_sec_median"] / low["docs_per_sec_median"])
+                  / (n_high / n_low))
     result = {
         "mode": mode,
         "low": low, "high": high,
         "efficiency": round(efficiency, 4),
+        "efficiency_median": round(eff_median, 4),
+        "invocations": invocations,
         "sf": sf,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
@@ -151,9 +179,12 @@ def main() -> None:
                 "| efficiency |\n|---|---|---|---|---|---|\n")
         f.write(
             f"| {result['timestamp']} | {sf} | {low['pages']} "
-            f"| {low['docs_per_sec']:.1f} ({low_label}) "
-            f"| {high['docs_per_sec']:.1f} ({high_label}) "
-            f"| {efficiency:.3f} |\n")
+            f"| {low['docs_per_sec']:.1f} best / "
+            f"{low['docs_per_sec_median']:.1f} med ({low_label}, "
+            f"{invocations}×{os.environ.get('SCALE_BENCH_REPEATS', '3')} runs) "
+            f"| {high['docs_per_sec']:.1f} best / "
+            f"{high['docs_per_sec_median']:.1f} med ({high_label}) "
+            f"| {efficiency:.3f} best / {eff_median:.3f} med |\n")
 
 
 if __name__ == "__main__":

@@ -124,6 +124,48 @@ def test_pipeline_ambiguity_split_ranks_only_ambiguous(spark):
     assert "Lyon_city" in lyon            # unambiguous bypass
 
 
+def test_ambiguity_is_keyed_on_tokenized_match_key(spark):
+    """Two DISTINCT alias strings that tokenize identically ("new york" vs
+    "new york " with a trailing space), each mapping to a single different
+    entity, collide on the same mention span (the automaton keys tokenized
+    aliases). Keying
+    ambiguity on the raw alias string would class both as unambiguous and
+    emit TWO entities for one span; keying on the tokenized match key routes
+    both through ranking, whose per-span top-1 keeps exactly one."""
+    from fact_extraction_spark.operators.mentions import collect_redirect_map
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, _build_dict_ctx, _page_mentions)
+
+    pages = spark.createDataFrame([
+        ("https://en.wikipedia.org/wiki/Notes",
+         b"People love new york greatly .\n\nTail paragraph here.",
+         "en"),
+    ], "url string, html binary, lang string")
+    redirects = spark.createDataFrame(
+        [("new york", "Entity_A"), ("new york ", "Entity_B")],
+        "alias string, target string")
+
+    cfg = PipelineConfig(mention_mode="dictionary",
+                         dictionary_strategy="broadcast",
+                         dictionary_scan_unanchored=True)
+    ctx = _build_dict_ctx(spark, pages, redirects, cfg)
+    # both alias strings share the token key -> both marked ambiguous
+    amb = {r["alias"] for r in ctx["ambiguous"].collect()}
+    assert amb == {"new york", "new york "}
+
+    rmap = collect_redirect_map(spark, redirects)
+    mentions = _page_mentions(pages, rmap, "en", ctx, cfg)
+    rows = mentions.filter(F.col("url").endswith("/Notes")).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault((r["sent_id"], r["start"], r["end"]), set()) \
+            .add(r["entity"])
+    # exactly one entity survives per span
+    assert spans, "the span must be detected at all"
+    for ents in spans.values():
+        assert len(ents) == 1
+
+
 @pytest.mark.slow
 def test_dictionary_mode_end_to_end_parity(spark, tables):
     """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the

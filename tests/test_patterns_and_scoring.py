@@ -88,6 +88,29 @@ def test_salted_training_join_matches_broadcast(spark, tiny_mentions):
             assert a == b, (tbl, min_count)
 
 
+def test_training_join_auto_picks_by_fact_count(spark, tables):
+    # "auto" (the default) mirrors the dictionary auto switch: broadcast
+    # below training_join_auto_threshold capped facts, salted above it —
+    # and the two legs must learn identical pattern tables
+    from fact_extraction_spark.plans.pipeline import PipelineConfig, learn
+
+    def model_words(cfg):
+        m = learn(spark, tables["pages"], tables["facts"], tables["types"],
+                  tables["redirects"], cfg)
+        rows = sorted(map(tuple, m.pattern_words.collect()))
+        m.unpersist()
+        return rows
+
+    # threshold 0 -> every fact set is "too big": auto takes the salted leg
+    salted_auto = model_words(PipelineConfig(
+        training_join_strategy="auto", training_join_auto_threshold=0))
+    # default threshold -> the capped fixture facts broadcast
+    broadcast_auto = model_words(PipelineConfig(
+        training_join_strategy="auto"))
+    assert salted_auto == broadcast_auto
+    assert len(salted_auto) > 0
+
+
 def test_scoring_separates_true_match_from_distractor(spark, tiny_mentions):
     facts = spark.createDataFrame(
         [("Alice", "birthPlace", "Oslo"), ("Bob", "birthPlace", "Paris")],
