@@ -118,12 +118,27 @@ def run_kg_pipeline(spark, corpus: str) -> dict:
     dict_triples.write.format("noop").mode("overwrite").save()
     dict_sec = time.time() - t3
     release_pipeline_caches()
+
+    # unanchored dictionary leg (the Common-Crawl cost shape): the
+    # keeps-a-link sentence filter is lifted, so EVERY extracted sentence
+    # goes through the AC automaton + tail join — this is what scanning
+    # anchor-free web text costs at scale
+    unanch_cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                                dictionary_strategy="mapside",
+                                dictionary_scan_unanchored=True)
+    t4 = time.time()
+    unanch = extract(spark, t["pages"], model, t["types"],
+                     t["redirects"], unanch_cfg)
+    unanch.write.format("noop").mode("overwrite").save()
+    unanch_sec = time.time() - t4
+    release_pipeline_caches()
     model.unpersist()
     return {
         "learn_sec": learn_sec,
         "extract_sec": extract_sec,
         "capped_extract_sec": capped_sec,
         "dict_extract_sec": dict_sec,
+        "dict_unanchored_extract_sec": unanch_sec,
         "pages": n_pages,
         "triples": n_triples,
         "docs_per_sec": n_pages / extract_sec if extract_sec > 0 else 0.0,
@@ -177,6 +192,8 @@ def main() -> None:
     timings["kg_extract"] = round(kg["extract_sec"], 3)
     timings["kg_extract_capped"] = round(kg["capped_extract_sec"], 3)
     timings["kg_extract_dict"] = round(kg["dict_extract_sec"], 3)
+    timings["kg_extract_dict_unanchored"] = round(
+        kg["dict_unanchored_extract_sec"], 3)
 
     total = round(time.time() - t0, 3)
     print(json.dumps({

@@ -167,6 +167,52 @@ def test_ambiguity_is_keyed_on_tokenized_match_key(spark):
 
 
 @pytest.mark.slow
+def test_unanchored_dictionary_recovers_anchored_triples(spark):
+    """Common-Crawl shape, end to end: learn from the anchored fixture
+    corpus, strip EVERY [[..]] anchor from the pages, and extract in
+    dictionary mode with dictionary_scan_unanchored=True. The AC dictionary
+    alone must recover exactly the anchored extract's triple set (different
+    seed than the driver oracle so both corpus instances are covered)."""
+    from fact_extraction_spark.fixtures import (
+        corpus_to_dataframes, generate_corpus)
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn)
+
+    fx = generate_corpus(seed=7, n_persons=25)
+    t = corpus_to_dataframes(spark, fx, partitions=4)
+    cfg = PipelineConfig(articles_limit=0)
+    model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"],
+                  cfg, exclude_subjects=t["ground_truth"])
+    anchored = extract(spark, t["pages"], model, t["types"], t["redirects"],
+                       cfg)
+    anchored_set = {(r["subj"], r["pred"], r["obj"])
+                    for r in anchored.select("subj", "pred", "obj").collect()}
+
+    stripped = t["pages"].withColumn(
+        "html", F.encode(
+            F.regexp_replace(
+                F.regexp_replace(F.decode("html", "utf-8"),
+                                 r"\[\[([^|\]]*)\|([^\]]*)\]\]", "$2"),
+                r"\[\[([^\]]*)\]\]", "$1"),
+            "utf-8"))
+    # sanity: the strip is non-vacuous
+    n_anchored_pages = t["pages"].filter(
+        F.decode("html", "utf-8").contains("[[")).count()
+    assert n_anchored_pages > 0
+    assert stripped.filter(
+        F.decode("html", "utf-8").contains("[[")).count() == 0
+
+    cfg2 = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                          dictionary_strategy="broadcast",
+                          dictionary_scan_unanchored=True)
+    unanch = extract(spark, stripped, model, t["types"], t["redirects"], cfg2)
+    unanch_set = {(r["subj"], r["pred"], r["obj"])
+                  for r in unanch.select("subj", "pred", "obj").collect()}
+    assert anchored_set, "anchored extract must be non-empty"
+    assert unanch_set == anchored_set
+
+
+@pytest.mark.slow
 def test_dictionary_mode_end_to_end_parity(spark, tables):
     """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the
     same P/R bar as anchor-parity mode on the fixture corpus."""
