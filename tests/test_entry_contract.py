@@ -42,7 +42,8 @@ def _rows(df_rows, columns):
 
 # queries that run the full learn+extract pipeline (twice for the
 # canonicalization delta) — slow half of the gate
-_SLOW_QUERIES = {"kg_extract_canonicalized"}
+_SLOW_QUERIES = {"kg_extract_canonicalized", "kg_extract_triples",
+                 "kg_extract_dict_unanchored"}
 
 
 @pytest.mark.parametrize(
