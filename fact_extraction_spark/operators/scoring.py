@@ -33,6 +33,14 @@ SYNTAX_WEIGHT = 1.0              # pattern_matcher.py:46
 DEFAULT_MATCH_THRESHOLD = 0.005  # fact_extractor.py:18 (config default 0.5)
 
 CAND_KEY = ["url", "sent_id", "subject", "object"]
+# the slim persist's key columns: ``subject`` is ALWAYS the page title —
+# a pure function of ``url`` (capitalize_first(strip_name(url)), identical
+# in both mention modes) — so the scoring persist does not store it; the
+# scorer recomputes it per scan in codegen. The job is memory-bandwidth
+# bound at high core counts (BENCH/BASELINE.md round-5 host-saturation
+# analysis), so trading ~25 stored+rescanned string bytes per candidate
+# for a few ALU ops on an otherwise stalled core is the right direction.
+SLIM_KEY = ["url", "sent_id", "object"]
 
 
 def _slot_key(slot_col, word_col):
@@ -56,11 +64,13 @@ def hashed_slot_keys():
 
 def slim_score_windows(windows: DataFrame) -> DataFrame:
     """Project candidate windows to the minimal schema scoring needs, with
-    the slot words hash-encoded. extract() persists THIS instead of the full
+    the slot words hash-encoded and the derivable ``subject`` column
+    dropped (see SLIM_KEY). extract() persists THIS instead of the full
     nested-string windows: the persist and every scan over it then carry
-    8 bytes per slot instead of a string word (learn() keeps the full
-    slots — pattern learning needs the actual words)."""
-    return windows.select(*CAND_KEY, "rel_pos", "n_slots",
+    8 bytes per slot instead of a string word and no subject string at all
+    (learn() keeps the full slots — pattern learning needs the actual
+    words)."""
+    return windows.select(*SLIM_KEY, "rel_pos", "n_slots",
                           hashed_slot_keys().alias("slot_keys"))
 
 
@@ -117,6 +127,13 @@ def score_candidates(
     # (BENCH/BASELINE.md round-2 task-time-inflation analysis). A caller
     # that pre-projected via ``slim_score_windows`` already carries
     # slot_keys and no slots column at all.
+    if "subject" not in windows.columns:
+        # slim input (SLIM_KEY): recompute the page-title subject from url
+        # in codegen — cheaper than storing and re-reading it per scan
+        from fact_extraction_spark.functions.uri import (
+            capitalize_first, strip_name)
+        windows = windows.withColumn(
+            "subject", capitalize_first(strip_name("url")))
     if "slot_keys" in windows.columns:
         cands = windows.select(*CAND_KEY, "rel_pos", "n_slots", "slot_keys")
     else:
