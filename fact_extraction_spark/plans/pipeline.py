@@ -127,6 +127,11 @@ class PipelineConfig:
     # than shuffling a corpus-sized window table
     training_join_auto_threshold: int = 2_000_000
     salt_hot_min_count: int = 100_000
+    # discovery gating (select_discovery_pages): max size of the EXCLUDED
+    # title set (training subjects ∪ gate-failing typed entities) for the
+    # broadcast anti-join strategy that keeps the html-bearing pages table
+    # out of every exchange; above it, the slim semi-join fallback runs
+    discovery_exclude_broadcast_rows: int = 2_000_000
     # config-default.ini:19 — 0 means learn type patterns over ALL facts
     type_learner_facts_limit: int = 0
     # config-default.ini:8; the reference's invariant asserts guard a
@@ -425,16 +430,26 @@ def select_discovery_pages(
     ``articles_limit`` cap by url order (divergence: reference is
     file-order).
 
-    Shape for scale: ALL gating runs over a slim (url, title) projection —
-    the ``html`` column never rides through the anti/semi gating joins or
-    their shuffles; the full page rows are fetched once at the end via a
-    single semi-join against the kept url set (broadcast when the
-    articles_limit cap bounds it)."""
+    Shape for scale: the gate usually KEEPS almost the whole corpus (it
+    only drops training subjects and wrong-typed entities), so expressing
+    it as ``pages semi-join keep`` shuffles the html-bearing pages table
+    against a corpus-sized url set — measured as a SortMergeJoin exchanging
+    every html payload both ways (the single biggest byte-mover in the
+    extract plan). Instead, when the EXCLUDED side is dimension-derivable
+    (``allow_unknown_entity_types``, the default), gate with a broadcast
+    ANTI-join against the excluded titles (training subjects ∪ typed
+    entities whose types miss the subject gate): html then never leaves
+    its scan stage — the mapInPandas extraction fuses directly onto the
+    parquet scan with zero page-table exchange. One dimension-side count
+    picks the strategy; above ``discovery_exclude_broadcast_rows`` (or with
+    ``articles_limit``, whose kept set is already a bounded broadcast) the
+    original slim semi-join path runs instead. At 10^12 documents the
+    right layout is pages bucketed by url so even that fallback semi-join
+    is co-located and exchange-free."""
     titled = pages.select("url").withColumn(
         "title", capitalize_first(strip_name("url")))
-    non_training = titled.join(
-        model.training_subjects.select(F.col("subj").alias("title")),
-        "title", "left_anti")
+    training_titles = model.training_subjects.select(
+        F.col("subj").alias("title"))
 
     valid_types = model.pattern_types.filter(
         F.col("side") == "subject").select("type").distinct()
@@ -442,6 +457,24 @@ def select_discovery_pages(
         types.join(F.broadcast(valid_types), "type")
         .select(F.col("entity").alias("title")).distinct()
     )
+
+    if not cfg.articles_limit and cfg.allow_unknown_entity_types:
+        # inverted gate: keep ⇔ title ∉ (training ∪ typed-but-gate-failing)
+        # — identical semantics (¬training ∧ (typed_ok ∨ untyped) ⇔
+        # ¬(training ∨ (typed ∧ ¬typed_ok))), but the join against the
+        # html-bearing pages is a broadcast anti instead of a shuffled semi
+        typed_ent = types.select(F.col("entity").alias("title")).distinct()
+        typed_not_ok = typed_ent.join(typed_ok, "title", "left_anti")
+        excluded = training_titles.unionByName(typed_not_ok).distinct()
+        n_excluded = excluded.count()
+        if n_excluded <= cfg.discovery_exclude_broadcast_rows:
+            return (
+                pages.withColumn(
+                    "title", capitalize_first(strip_name("url")))
+                .join(F.broadcast(excluded), "title", "left_anti")
+                .drop("title"))
+
+    non_training = titled.join(training_titles, "title", "left_anti")
     gated = non_training.join(typed_ok, "title", "left_semi")
     if cfg.allow_unknown_entity_types:
         untyped = non_training.join(
