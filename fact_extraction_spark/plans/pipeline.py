@@ -170,8 +170,12 @@ class LearnedModel:
         return self
 
     def unpersist(self) -> "LearnedModel":
+        extra_dfs = [v[0] for k, v in self.extras.items()
+                     if isinstance(k, tuple) and k
+                     and k[0] == "discovery_excluded"]
         for df in (self.pattern_words, self.pattern_stats, self.pattern_types,
-                   self.type_probs, self.rel_stats, self.training_subjects):
+                   self.type_probs, self.rel_stats, self.training_subjects,
+                   *extra_dfs):
             try:
                 df.unpersist()
             except Exception:
@@ -462,11 +466,25 @@ def select_discovery_pages(
         # inverted gate: keep ⇔ title ∉ (training ∪ typed-but-gate-failing)
         # — identical semantics (¬training ∧ (typed_ok ∨ untyped) ⇔
         # ¬(training ∨ (typed ∧ ¬typed_ok))), but the join against the
-        # html-bearing pages is a broadcast anti instead of a shuffled semi
-        typed_ent = types.select(F.col("entity").alias("title")).distinct()
-        typed_not_ok = typed_ent.join(typed_ok, "title", "left_anti")
-        excluded = training_titles.unionByName(typed_not_ok).distinct()
-        n_excluded = excluded.count()
+        # html-bearing pages is a broadcast anti instead of a shuffled semi.
+        # The excluded dim depends only on (model, types), so it is built,
+        # persisted and counted ONCE per model and shared by every extract
+        # over it (multiple bench legs, repeated extracts, the dictionary
+        # path's several actions) — the per-extract fixed cost of the
+        # inversion is zero after the first call. Keyed on id(types) so a
+        # caller passing a different types table gets a fresh set; released
+        # by model.unpersist().
+        cache_key = ("discovery_excluded", id(types))
+        cached = model.extras.get(cache_key)
+        if cached is None:
+            typed_ent = types.select(
+                F.col("entity").alias("title")).distinct()
+            typed_not_ok = typed_ent.join(typed_ok, "title", "left_anti")
+            excluded = (training_titles.unionByName(typed_not_ok)
+                        .distinct().persist())
+            cached = (excluded, excluded.count())
+            model.extras[cache_key] = cached
+        excluded, n_excluded = cached
         if n_excluded <= cfg.discovery_exclude_broadcast_rows:
             return (
                 pages.withColumn(
