@@ -472,19 +472,25 @@ def select_discovery_pages(
         # over it (multiple bench legs, repeated extracts, the dictionary
         # path's several actions) — the per-extract fixed cost of the
         # inversion is zero after the first call. Keyed on id(types) so a
-        # caller passing a different types table gets a fresh set; released
+        # caller passing a different types table gets a fresh set; the
+        # cached tuple also PINS the keying DataFrame, so CPython cannot
+        # recycle its id() for a different types table while the entry
+        # lives (id reuse after GC would silently serve a stale excluded
+        # set); an identity check backstops any other collision. Released
         # by model.unpersist().
         cache_key = ("discovery_excluded", id(types))
         cached = model.extras.get(cache_key)
+        if cached is not None and cached[2] is not types:
+            cached = None
         if cached is None:
             typed_ent = types.select(
                 F.col("entity").alias("title")).distinct()
             typed_not_ok = typed_ent.join(typed_ok, "title", "left_anti")
             excluded = (training_titles.unionByName(typed_not_ok)
                         .distinct().persist())
-            cached = (excluded, excluded.count())
+            cached = (excluded, excluded.count(), types)
             model.extras[cache_key] = cached
-        excluded, n_excluded = cached
+        excluded, n_excluded = cached[0], cached[1]
         if n_excluded <= cfg.discovery_exclude_broadcast_rows:
             return (
                 pages.withColumn(

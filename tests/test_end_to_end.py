@@ -87,6 +87,46 @@ def test_discovery_cap_is_distributed_topk(spark, tables, model_and_triples):
     assert got == expected
 
 
+def test_discovery_excluded_cache_keyed_per_types_table(
+        spark, tables, model_and_triples):
+    """Two DIFFERENT types tables through one model must each get a fresh
+    discovery-excluded set (ADVICE r5: an id()-keyed cache could serve a
+    stale set after id reuse). The cache pins the keying DataFrame and
+    identity-checks it, so (a) results reflect the table actually passed,
+    (b) both entries coexist, (c) the pinned object matches the key."""
+    from fact_extraction_spark.plans.pipeline import select_discovery_pages
+
+    model, _ = model_and_triples
+    cfg = PipelineConfig(articles_limit=0)
+
+    kept_real = select_discovery_pages(
+        tables["pages"], model, tables["types"], cfg)
+    n_real = kept_real.count()
+
+    # an empty types table: nothing is typed-but-gate-failing, so only
+    # training subjects are excluded -> strictly more pages kept than with
+    # the real table (which excludes wrong-typed entities too)
+    empty_types = tables["types"].limit(0)
+    kept_empty = select_discovery_pages(
+        tables["pages"], model, empty_types, cfg)
+    n_empty = kept_empty.count()
+    assert n_empty >= n_real
+
+    keys = [k for k in model.extras
+            if isinstance(k, tuple) and k[0] == "discovery_excluded"]
+    assert len(keys) >= 2, "each types table gets its own cache entry"
+    for k in keys:
+        entry = model.extras[k]
+        assert len(entry) == 3 and id(entry[2]) == k[1], \
+            "cached tuple pins the keying types DataFrame"
+
+    # repeat call with the real table must reuse its entry, not rebuild
+    n_entries_before = len(model.extras)
+    again = select_discovery_pages(tables["pages"], model, tables["types"], cfg)
+    assert again.count() == n_real
+    assert len(model.extras) == n_entries_before
+
+
 def test_redirect_alias_objects_resolved(model_and_triples, tables):
     _, triples = model_and_triples
     objs = {r["obj"] for r in triples.select("obj").distinct().collect()}
