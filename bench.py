@@ -8,6 +8,16 @@ plus the heavy relational/document/embedding queries from __spark_entry__.
 The KG corpus is generated once per (seed, size) and cached as parquet in
 /tmp so repeated runs and both parallelism levels of the scaling bench see
 identical input (FIXTURES.md determinism rules).
+
+Repeat protocol (VERDICT r5 Next #1): this host shows ±50% ambient per-leg
+swing (identical code measured 8.9 vs 17.4 s on one leg), so single
+readings cannot detect a real regression. Every leg now runs
+SPARK_GRAFT_BENCH_REPEATS (default 3) times in ALTERNATING order — the
+full heavy+KG sequence is repeated end-to-end, like scale_bench.py's
+invocation alternation, so drift hits all legs symmetrically — and the
+JSON reports the per-leg median (in "queries", driver-compatible) plus
+{median, best, n, runs} detail. "value" is the sum of per-leg medians, so
+round-over-round comparisons are made on medians.
 """
 
 from __future__ import annotations
@@ -164,17 +174,20 @@ def main() -> None:
 
     corpus, _ = ensure_corpus(spark, sf)
 
-    timings: dict[str, float] = {}
-    t0 = time.time()
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    runs: dict[str, list[float]] = {}
+
+    def record(name: str, sec: float) -> None:
+        runs.setdefault(name, []).append(round(sec, 3))
 
     # untimed warmup so the first timed query doesn't pay JVM/codegen
     # warmup (measured ~5 s on the first scan of a cold session)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # heavy relational/document queries FIRST, against a clean heap — the
-    # KG legs run after, so query timings measure the queries, not memory
-    # pressure from pipeline caches (VERDICT r2 #5 bench hygiene)
+    # heavy relational/document queries FIRST within each repeat, against a
+    # clean heap — the KG legs run after, so query timings measure the
+    # queries, not memory pressure from pipeline caches (VERDICT r2 #5)
     heavy = [
         "agg_scan_pushdown", "join_topk", "window_running",
         "type_probability", "dedup_exact", "token_count",
@@ -182,29 +195,52 @@ def main() -> None:
         "dictionary_mentions_mapside",
     ]
     qs = entry_mod.queries()
-    for name in heavy:
-        t1 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t1, 3)
+    kg_meta: dict = {}
+    kg_triple_counts: list[int] = []
+    wall0 = time.time()
+    for _rep in range(n_repeats):
+        for name in heavy:
+            t1 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            record(name, time.time() - t1)
 
-    kg = run_kg_pipeline(spark, corpus)
-    timings["kg_learn"] = round(kg["learn_sec"], 3)
-    timings["kg_extract"] = round(kg["extract_sec"], 3)
-    timings["kg_extract_capped"] = round(kg["capped_extract_sec"], 3)
-    timings["kg_extract_dict"] = round(kg["dict_extract_sec"], 3)
-    timings["kg_extract_dict_unanchored"] = round(
-        kg["dict_unanchored_extract_sec"], 3)
+        kg = run_kg_pipeline(spark, corpus)
+        record("kg_learn", kg["learn_sec"])
+        record("kg_extract", kg["extract_sec"])
+        record("kg_extract_capped", kg["capped_extract_sec"])
+        record("kg_extract_dict", kg["dict_extract_sec"])
+        record("kg_extract_dict_unanchored",
+               kg["dict_unanchored_extract_sec"])
+        kg_meta = kg
+        kg_triple_counts.append(kg["triples"])
 
-    total = round(time.time() - t0, 3)
+    assert len(set(kg_triple_counts)) == 1, \
+        f"non-deterministic triple counts across repeats: {kg_triple_counts}"
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    timings = {name: _median(xs) for name, xs in runs.items()}
+    detail = {name: {"median": _median(xs), "best": min(xs),
+                     "n": len(xs), "runs": xs}
+              for name, xs in runs.items()}
+    total = round(sum(timings.values()), 3)
+    median_extract = timings["kg_extract"]
     print(json.dumps({
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": total,          # sum of per-leg MEDIANS (VERDICT r5 #1)
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,      # per-leg medians
+        "queries_detail": detail,
+        "repeats": n_repeats,
+        "bench_wall_sec": round(time.time() - wall0, 1),
         "sf": sf,
-        "kg_docs_per_sec": round(kg["docs_per_sec"], 2),
-        "kg_pages": kg["pages"],
-        "kg_triples": kg["triples"],
+        "kg_docs_per_sec": round(
+            kg_meta["pages"] / median_extract, 2) if median_extract else 0.0,
+        "kg_pages": kg_meta["pages"],
+        "kg_triples": kg_meta["triples"],
         "cpus": int(CPUS),
     }))
     spark.stop()
