@@ -13,8 +13,9 @@ amortized by the shrinking broadcast/automaton cost advantage — is where
 Measures mention-DETECTION wall time (the part the strategy controls:
 fused sentence pass + automaton hits [+ n-gram tail join] + ambiguity
 split + any ranking) and appends a sweep table to BENCH/BASELINE.md.
-Per-strategy mention counts are recorded at every size — the two paths
-must agree row-for-row, a free equivalence check.
+Per-strategy mention rows are compared SET-WISE at every size (symmetric
+exceptAll must be empty, not just equal counts — ADVICE r5), a free
+row-for-row equivalence check.
 """
 
 from __future__ import annotations
@@ -65,15 +66,22 @@ def main() -> None:
         cands = (full_cands if mod == 1 else full_cands.filter(
             F.pmod(F.xxhash64("alias"), F.lit(mod)) == 0))
         n_pairs = cands.count()
-        results, mention_counts = {}, {}
+        results, mention_counts, mention_fps = {}, {}, {}
         for strategy in ("broadcast", "mapside"):
             cfg = PipelineConfig(mention_mode="dictionary",
                                  dictionary_strategy=strategy)
             t0 = time.time()
             ctx = _build_dict_ctx(spark, pages, redirects, cfg, cands=cands)
-            mention_counts[strategy] = _page_mentions(
-                pages, rmap_bc, "en", ctx, cfg).count()
+            mentions = _page_mentions(pages, rmap_bc, "en", ctx, cfg)
+            mention_counts[strategy] = mentions.count()
             results[strategy] = round(time.time() - t0, 2)
+            # untimed MULTISET fingerprint (count + order-independent
+            # decimal-summed per-row xxhash64): equal counts can mask
+            # differing rows (ADVICE r5) — this pins row-for-row equality
+            fp = mentions.agg(
+                F.sum(F.xxhash64(*mentions.columns)
+                      .cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+            mention_fps[strategy] = (mention_counts[strategy], str(fp))
             release_caches()
         winner = min(results, key=results.get)
         auto_pick = "broadcast" if n_pairs <= threshold else "mapside"
@@ -81,7 +89,7 @@ def main() -> None:
                "mentions_broadcast": mention_counts["broadcast"],
                "mentions_mapside": mention_counts["mapside"],
                "mentions_equal":
-                   mention_counts["broadcast"] == mention_counts["mapside"],
+                   mention_fps["broadcast"] == mention_fps["mapside"],
                "broadcast_sec": results["broadcast"],
                "mapside_sec": results["mapside"],
                "winner": winner, "auto_picks": auto_pick,
@@ -98,7 +106,7 @@ def main() -> None:
             f"{n_pages} pages, fixed corpus, dictionary subsampled by "
             f"alias-hash; auto threshold {threshold} pairs.\n\n"
             "| pairs | broadcast s | mapside s | winner | auto picks | "
-            "mentions equal |\n|---|---|---|---|---|---|\n")
+            "mentions row-equal |\n|---|---|---|---|---|---|\n")
         for r in sweep:
             f.write(f"| {r['pairs']} | {r['broadcast_sec']} "
                     f"| {r['mapside_sec']} | {r['winner']} "

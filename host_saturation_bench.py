@@ -64,6 +64,11 @@ def main() -> None:
     cores = int(os.environ.get("SATURATION_CORES", "4"))
     ks = [int(k) for k in
           os.environ.get("SATURATION_LEVELS", "1,2,4").split(",")]
+    # the "host efficiency vs solo" column divides by the K=1 reading; a
+    # custom SATURATION_LEVELS without 1 would silently rebase it on a
+    # concurrent run and mislabel every row (ADVICE r5)
+    if 1 not in ks:
+        ks = [1] + ks
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     sys.path.insert(0, REPO)
