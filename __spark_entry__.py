@@ -521,16 +521,16 @@ def q_kg_extract_canonicalized(spark, sf_dir):
     return dropped.unionByName(gained).select("subj", "change")
 
 
-def _fixture_model(spark, n_persons=40):
-    """Deterministic fixture corpus (seed=42) + anchors-mode learned model —
-    shared by the end-to-end oracle queries. The corpus generator and the
-    whole pipeline are deterministic, so the extracted triple set is
-    closed-form and the oracles below can be VALUES literals."""
+def _fixture_model(spark, n_persons=40, seed=42):
+    """Deterministic fixture corpus + anchors-mode learned model — shared by
+    the end-to-end oracle queries. The corpus generator and the whole
+    pipeline are deterministic, so the extracted triple set is closed-form
+    and the oracles below can be VALUES literals."""
     from fact_extraction_spark.fixtures import (
         corpus_to_dataframes, generate_corpus)
     from fact_extraction_spark.plans.pipeline import PipelineConfig, learn
 
-    fx = generate_corpus(seed=42, n_persons=n_persons)
+    fx = generate_corpus(seed=seed, n_persons=n_persons)
     t = corpus_to_dataframes(spark, fx, partitions=4)
     cfg = PipelineConfig(articles_limit=0)
     model = learn(spark, t["pages"], t["facts"], t["types"], t["redirects"],
@@ -547,6 +547,20 @@ def q_kg_extract_triples(spark, sf_dir):
     from fact_extraction_spark.plans.pipeline import extract
 
     t, model, cfg = _fixture_model(spark)
+    triples = extract(spark, t["pages"], model, t["types"], t["redirects"],
+                      cfg)
+    return triples.select("subj", "pred", "obj").distinct()
+
+
+def q_kg_extract_triples_seed7(spark, sf_dir):
+    """Second-seed closed-form triple spec (VERDICT r5 Next #6): the same
+    end-to-end anchors-mode extract as kg_extract_triples but over the
+    seed=7, n_persons=25 fixture corpus. Two independent seeds make a
+    scoring/windowing regression that coincidentally preserves one seed's
+    triple set vanishingly unlikely to stay green on both."""
+    from fact_extraction_spark.plans.pipeline import extract
+
+    t, model, cfg = _fixture_model(spark, n_persons=25, seed=7)
     triples = extract(spark, t["pages"], model, t["types"], t["redirects"],
                       cfg)
     return triples.select("subj", "pred", "obj").distinct()
@@ -650,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "kg_extract_canonicalized": q_kg_extract_canonicalized,
         "kg_extract_triples": q_kg_extract_triples,
+        "kg_extract_triples_seed7": q_kg_extract_triples_seed7,
         "kg_extract_dict_unanchored": q_kg_extract_dict_unanchored,
         "dictionary_mentions": q_dictionary_mentions,
         "dictionary_mentions_mapside": q_dictionary_mentions_mapside,
@@ -696,6 +711,25 @@ _FIXTURE_TRIPLES_ORACLE = """
         ('Tania_Monkelwick', 'birthPlace', 'Grandmere_City'),
         ('Tania_Monkelwick', 'birthPlace', 'Risbarpol_City'),
         ('Tania_Monkelwick', 'employer', 'Qualinris_Works')
+    ) AS t(subj, pred, obj)
+"""
+
+
+# Second-seed closed-form triple set (seed=7, n_persons=25) — VERDICT r5
+# Next #6: an independent sample of the same end-to-end spec.
+_FIXTURE_TRIPLES_SEED7_ORACLE = """
+    SELECT * FROM (VALUES
+        ('Boris_Ostmerson', 'birthPlace', 'Grandmere_City'),
+        ('Boris_Ostmerson', 'employer', 'Zentamvel_Works'),
+        ('Carla_Fenmerberg', 'birthPlace', 'Grandmere_City'),
+        ('Dmitri_Wixrisworth', 'almaMater', 'Velmondra_University'),
+        ('Dmitri_Wixrisworth', 'birthPlace', 'Grandmere_City'),
+        ('Dmitri_Wixrisworth', 'employer', 'Zentamvel_Works'),
+        ('Elena_Velquagate', 'almaMater', 'Veltamris_University'),
+        ('Elena_Velquagate', 'employer', 'Sultorgar_Works'),
+        ('Giant_Chronicle', 'almaMater', 'Velmondra_University'),
+        ('Giant_Chronicle', 'birthPlace', 'Velnorqua_City'),
+        ('Giant_Chronicle', 'employer', 'Tamtamost_Works')
     ) AS t(subj, pred, obj)
 """
 
@@ -936,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         # Common-Crawl-shape path recovers every anchored triple from the
         # AC dictionary alone), so both queries share this oracle.
         "kg_extract_triples": _FIXTURE_TRIPLES_ORACLE,
+        "kg_extract_triples_seed7": _FIXTURE_TRIPLES_SEED7_ORACLE,
         "kg_extract_dict_unanchored": _FIXTURE_TRIPLES_ORACLE,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _JACCARD_ORACLE,
