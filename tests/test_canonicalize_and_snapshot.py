@@ -114,6 +114,80 @@ def test_snapshot_resume_no_dupes_no_gaps(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_dictionary_mode_kill_rerun_resume(spark, tables, tmp_path):
+    """Kill-and-rerun through the FULL dictionary-mode pipeline (VERDICT r5
+    Next #5): the anchors path's resume guarantee is covered by the
+    unit-level lineage test above, but dictionary mode carries extra
+    persisted state (dict_ctx automaton/candidates, the ambiguous-alias
+    set, the discovery-excluded set) that a rerun must rebuild from scratch.
+
+    Run 1 extracts in dictionary(mapside) mode and "dies" after committing
+    a prefix of partitions, plus one orphan data partition written without
+    its lineage row (crash between data job and lineage append). Run 2 is a
+    cold rerun — fresh learn + extract, every cache released — whose commit
+    must process exactly the missing partitions; the committed table then
+    equals the full triple set with no dupes and no gaps."""
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, extract, learn, release_pipeline_caches)
+
+    base = str(tmp_path / "kg_dict")
+    cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                         dictionary_strategy="mapside")
+
+    def cold_run():
+        model = learn(spark, tables["pages"], tables["facts"],
+                      tables["types"], tables["redirects"], cfg,
+                      exclude_subjects=tables["ground_truth"])
+        triples = extract(spark, tables["pages"], model, tables["types"],
+                          tables["redirects"], cfg)
+        return model, snap.with_part_id(triples, "subj", num_parts=8)
+
+    model1, full1 = cold_run()
+    expected = {(r["subj"], r["pred"], r["obj"])
+                for r in full1.select("subj", "pred", "obj").collect()}
+    parts1 = sorted(r["part_id"] for r in
+                    full1.select("part_id").distinct().collect())
+    assert expected and len(parts1) >= 3, "fixture must span several parts"
+
+    # run 1 dies after committing the first part only
+    first_part = parts1[0]
+    r1 = snap.commit_partitions(
+        spark, full1.filter(F.col("part_id") == first_part), base,
+        stage="triples")
+    assert r1["parts"] == 1
+    # ...having also written (but never committed) the next part's data
+    orphan_part = parts1[1]
+    full1.filter(F.col("part_id") == orphan_part).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("part_id").parquet(base + "/data")
+    assert snap.read_committed(spark, base, stage="triples") \
+        .select("part_id").distinct().count() == 1
+
+    # the kill: every piece of cached dictionary/pipeline state goes away
+    model1.unpersist()
+    release_pipeline_caches()
+    spark.catalog.clearCache()
+
+    # cold rerun rebuilds dict_ctx / ambiguous set / excluded set and
+    # resumes: only the uncommitted parts (incl. the orphan) are new work
+    model2, full2 = cold_run()
+    r2 = snap.commit_partitions(spark, full2, base, stage="triples")
+    assert r2["parts"] == len(parts1) - 1
+
+    back = [(r["subj"], r["pred"], r["obj"]) for r in
+            snap.read_committed(spark, base, stage="triples")
+            .select("subj", "pred", "obj").collect()]
+    assert len(back) == len(set(back)), "no dupes"
+    assert set(back) == expected, "no gaps"
+
+    # a third commit of the same output is a no-op
+    assert snap.commit_partitions(
+        spark, full2, base, stage="triples")["parts"] == 0
+    model2.unpersist()
+    release_pipeline_caches()
+
+
+@pytest.mark.slow
 def test_pipeline_canonicalize_output_flag(spark, tables):
     """cfg.canonicalize_output wires canonicalization into extract()
     (SURVEY §3.3 step 6): an alias-titled mirror page's triples surface
