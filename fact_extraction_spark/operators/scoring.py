@@ -41,6 +41,12 @@ CAND_KEY = ["url", "sent_id", "subject", "object"]
 # analysis), so trading ~25 stored+rescanned string bytes per candidate
 # for a few ALU ops on an otherwise stalled core is the right direction.
 SLIM_KEY = ["url", "sent_id", "object"]
+# int-url variant (VERDICT r5 Next #3): the ~60-byte url string — the
+# dominant remaining bytes-per-candidate — is replaced by its xxhash64
+# through the persist and every scoring scan/join; the string (and the
+# derived subject) is re-attached AFTER the threshold filter by a join
+# against the url dimension, which touches only the surviving rows.
+SLIM_KEY_INT = ["url_id", "sent_id", "object"]
 
 
 def _slot_key(slot_col, word_col):
@@ -62,16 +68,38 @@ def hashed_slot_keys():
     return F.transform("slots", lambda s: _slot_key(s["slot"], s["word"]))
 
 
-def slim_score_windows(windows: DataFrame) -> DataFrame:
+def slim_score_windows(windows: DataFrame, int_url: bool = False) -> DataFrame:
     """Project candidate windows to the minimal schema scoring needs, with
     the slot words hash-encoded and the derivable ``subject`` column
     dropped (see SLIM_KEY). extract() persists THIS instead of the full
     nested-string windows: the persist and every scan over it then carry
     8 bytes per slot instead of a string word and no subject string at all
     (learn() keeps the full slots — pattern learning needs the actual
-    words)."""
+    words).
+
+    ``int_url=True`` (SLIM_KEY_INT) additionally hash-encodes the url;
+    pass the matching ``url_dim`` to ``score_candidates`` so strings can
+    be re-attached after the threshold filter."""
+    if int_url:
+        return windows.select(
+            F.xxhash64("url").alias("url_id"), "sent_id", "object",
+            "rel_pos", "n_slots", hashed_slot_keys().alias("slot_keys"))
     return windows.select(*SLIM_KEY, "rel_pos", "n_slots",
                           hashed_slot_keys().alias("slot_keys"))
+
+
+def url_dim(discovery: DataFrame) -> DataFrame:
+    """(url_id, url, subject) dimension for the int-url slim persist: one
+    row per distinct discovery url (a superset of the candidate urls —
+    extra rows simply never match). Collision risk is the slot-key
+    argument again: two distinct urls sharing an xxhash64 (P < n²/2⁶⁴ —
+    ~10⁻⁸ at 10⁶ pages) would cross-attach two pages' rows; at 10¹²-page
+    scale widen the key to two independent hashes."""
+    from fact_extraction_spark.functions.uri import (
+        capitalize_first, strip_name)
+    return discovery.select("url").distinct().select(
+        F.xxhash64("url").alias("url_id"), "url",
+        capitalize_first(strip_name("url")).alias("subject"))
 
 
 def _entity_side_scores(types: DataFrame, type_probs: DataFrame, side: str) -> DataFrame:
@@ -105,6 +133,7 @@ def score_candidates(
     match_threshold: float = DEFAULT_MATCH_THRESHOLD,
     type_matching: bool = True,
     side_broadcast_rows: int = 5_000_000,
+    url_map: DataFrame | None = None,
 ) -> DataFrame:
     """windows (candidate context rows) → scored (subj, pred, obj, score, …).
 
@@ -127,18 +156,45 @@ def score_candidates(
     # (BENCH/BASELINE.md round-2 task-time-inflation analysis). A caller
     # that pre-projected via ``slim_score_windows`` already carries
     # slot_keys and no slots column at all.
-    if "subject" not in windows.columns:
-        # slim input (SLIM_KEY): recompute the page-title subject from url
-        # in codegen — cheaper than storing and re-reading it per scan
-        from fact_extraction_spark.functions.uri import (
-            capitalize_first, strip_name)
-        windows = windows.withColumn(
-            "subject", capitalize_first(strip_name("url")))
-    if "slot_keys" in windows.columns:
-        cands = windows.select(*CAND_KEY, "rel_pos", "n_slots", "slot_keys")
+    int_url = "url_id" in windows.columns
+    if int_url:
+        # SLIM_KEY_INT input: candidates carry an 8-byte url hash; url and
+        # the derived subject live only in the url dimension and are
+        # re-attached after the threshold filter (finalize below)
+        if url_map is None:
+            raise ValueError("int-url slim windows require url_map "
+                             "(scoring.url_dim over the discovery pages)")
+        cands = windows.select(*SLIM_KEY_INT, "rel_pos", "n_slots",
+                               "slot_keys")
     else:
-        cands = windows.select(*CAND_KEY, "rel_pos", "n_slots",
-                               hashed_slot_keys().alias("slot_keys"))
+        if "subject" not in windows.columns:
+            # slim input (SLIM_KEY): recompute the page-title subject from
+            # url in codegen — cheaper than storing and re-reading it per
+            # scan
+            from fact_extraction_spark.functions.uri import (
+                capitalize_first, strip_name)
+            windows = windows.withColumn(
+                "subject", capitalize_first(strip_name("url")))
+        if "slot_keys" in windows.columns:
+            cands = windows.select(*CAND_KEY, "rel_pos", "n_slots",
+                                   "slot_keys")
+        else:
+            cands = windows.select(*CAND_KEY, "rel_pos", "n_slots",
+                                   hashed_slot_keys().alias("slot_keys"))
+
+    def finalize(df: DataFrame) -> DataFrame:
+        """Post-threshold projection to the output schema; the int-url path
+        re-attaches url/subject here, so the string join touches only the
+        surviving rows."""
+        if int_url:
+            df = df.join(url_map, "url_id")
+        return df.select(
+            F.col("subject").alias("subj"),
+            "pred",
+            F.col("object").alias("obj"),
+            "score",
+            "url", "sent_id", "rel_pos",
+        )
 
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
 
@@ -152,8 +208,9 @@ def score_candidates(
         # side replaces the round-2 shape of gate join + prob join +
         # n_types join + post-hoc filter (three corpus-sized shuffle joins
         # fewer).
-        def side_scores(ent_col: str, side: str) -> DataFrame:
-            ents = cands.select(F.col(ent_col).alias("entity")).distinct()
+        def side_scores(ents: DataFrame, side: str) -> DataFrame:
+            """(entity, pred, type_score) over the given candidate-side
+            entity set (one "entity" column)."""
             typed = (
                 _gate_pairs(types, pattern_types, side)
                 .join(ents, "entity", "left_semi")
@@ -173,8 +230,10 @@ def score_candidates(
                     .crossJoin(all_preds)
                     .withColumn("type_score", F.lit(None).cast("double")))
                 typed = typed.unionByName(unknown)
-            tbl = typed.withColumnRenamed("entity", ent_col) \
-                .withColumnRenamed("type_score", f"{side}_type_score")
+            return typed.withColumnRenamed("type_score",
+                                           f"{side}_type_score")
+
+        def finish_side(tbl: DataFrame) -> DataFrame:
             # The side table is bounded (candidate entities × admissible
             # preds) but sits behind aggregates/unions whose size estimates
             # Catalyst distrusts, so it plans a shuffle join — exchanging
@@ -189,9 +248,32 @@ def score_candidates(
                 tbl = F.broadcast(tbl)
             return tbl
 
+        if int_url:
+            # subject entities come from the url dimension (a superset of
+            # candidate subjects — extra rows never match), and the side
+            # table is re-keyed to url_id so the candidate join hashes an
+            # 8-byte key instead of the subject string
+            sub_ents = url_map.select(
+                F.col("subject").alias("entity")).distinct()
+            sub_tbl = (
+                side_scores(sub_ents, "subject")
+                .join(url_map.select(
+                    "url_id", F.col("subject").alias("entity")), "entity")
+                .select("url_id", "pred", "subject_type_score"))
+            sub_key = "url_id"
+        else:
+            sub_ents = cands.select(
+                F.col("subject").alias("entity")).distinct()
+            sub_tbl = side_scores(sub_ents, "subject") \
+                .withColumnRenamed("entity", "subject")
+            sub_key = "subject"
+        obj_ents = cands.select(F.col("object").alias("entity")).distinct()
+        obj_tbl = side_scores(obj_ents, "object") \
+            .withColumnRenamed("entity", "object")
+
         scored = (
-            cands.join(side_scores("subject", "subject"), "subject")
-            .join(side_scores("object", "object"), ["object", "pred"])
+            cands.join(finish_side(sub_tbl), sub_key)
+            .join(finish_side(obj_tbl), ["object", "pred"])
         )
     else:
         # reasonable_relations = ALL learned relations
@@ -218,17 +300,9 @@ def score_candidates(
 
     if not type_matching:
         # pattern_matcher.py:24-25: score = the intersection score, full stop
-        return (
+        return finalize(
             scored.withColumn("score", F.col("syntax_score"))
-            .filter(F.col("score") >= match_threshold)
-            .select(
-                F.col("subject").alias("subj"),
-                "pred",
-                F.col("object").alias("obj"),
-                "score",
-                "url", "sent_id", "rel_pos",
-            )
-        )
+            .filter(F.col("score") >= match_threshold))
 
     # (type scores + early exit already attached by the fused side joins)
 
@@ -255,13 +329,4 @@ def score_candidates(
     )
     scored = scored.withColumn("score", weighted_sum / total_w)
 
-    return (
-        scored.filter(F.col("score") >= match_threshold)
-        .select(
-            F.col("subject").alias("subj"),
-            "pred",
-            F.col("object").alias("obj"),
-            "score",
-            "url", "sent_id", "rel_pos",
-        )
-    )
+    return finalize(scored.filter(F.col("score") >= match_threshold))
