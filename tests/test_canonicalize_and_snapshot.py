@@ -114,6 +114,7 @@ def test_snapshot_resume_no_dupes_no_gaps(spark, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_dictionary_mode_kill_rerun_resume(spark, tables, tmp_path):
     """Kill-and-rerun through the FULL dictionary-mode pipeline (VERDICT r5
     Next #5): the anchors path's resume guarantee is covered by the
@@ -188,6 +189,7 @@ def test_dictionary_mode_kill_rerun_resume(spark, tables, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_pipeline_canonicalize_output_flag(spark, tables):
     """cfg.canonicalize_output wires canonicalization into extract()
     (SURVEY §3.3 step 6): an alias-titled mirror page's triples surface

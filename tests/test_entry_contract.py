@@ -40,16 +40,24 @@ def _rows(df_rows, columns):
         tuple(_norm(r[c]) for c in cols) for r in df_rows)
 
 
-# queries that run the full learn+extract pipeline (twice for the
-# canonicalization delta) — slow half of the gate
+# queries that run the full learn+extract pipeline — slow half of the
+# gate; kg_extract_canonicalized runs it THREE times (raw + flag-on +
+# delta) so it also carries the `slowest` marker
 _SLOW_QUERIES = {"kg_extract_canonicalized", "kg_extract_triples",
                  "kg_extract_dict_unanchored"}
+_SLOWEST_QUERIES = {"kg_extract_canonicalized"}
+
+
+def _marks(n):
+    if n in _SLOWEST_QUERIES:
+        return pytest.param(n, marks=[pytest.mark.slow, pytest.mark.slowest])
+    if n in _SLOW_QUERIES:
+        return pytest.param(n, marks=pytest.mark.slow)
+    return n
 
 
 @pytest.mark.parametrize(
-    "name",
-    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_QUERIES
-     else n for n in sorted(entry_mod.queries().keys())])
+    "name", [_marks(n) for n in sorted(entry_mod.queries().keys())])
 def test_query_matches_oracle(spark, ddb, name):
     fn = entry_mod.queries()[name]
     got_df = fn(spark, SF_DIR)

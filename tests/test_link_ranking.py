@@ -167,6 +167,7 @@ def test_ambiguity_is_keyed_on_tokenized_match_key(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_unanchored_dictionary_recovers_anchored_triples(spark):
     """Common-Crawl shape, end to end: learn from the anchored fixture
     corpus, strip EVERY [[..]] anchor from the pages, and extract in
@@ -213,6 +214,7 @@ def test_unanchored_dictionary_recovers_anchored_triples(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_dictionary_mode_end_to_end_parity(spark, tables):
     """North-star stage 2 (AC dictionary + tf-idf disambiguation) reaches the
     same P/R bar as anchor-parity mode on the fixture corpus."""
