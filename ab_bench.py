@@ -10,9 +10,9 @@ appends a table to BENCH/BASELINE.md. Triple counts are asserted equal
 across variants (a free equivalence check on top of the pytest
 row-identity test).
 
-Scale corpus: SPARK_GRAFT_BENCH_PERSONS (default 1330000 — the round-4/5
-1.37M-page corpus; throughput numbers on smaller corpora are noise, see
-memory/scale-bench-corpus-env).
+Scale corpus: SPARK_GRAFT_BENCH_PERSONS (default 1330000 — the 1.37M-page
+corpus of the BENCH/BASELINE.md scaling rows; throughput A/Bs on smaller
+corpora don't amortize per-task overhead and read as noise).
 """
 
 from __future__ import annotations
