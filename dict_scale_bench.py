@@ -73,15 +73,18 @@ def main() -> None:
             t0 = time.time()
             ctx = _build_dict_ctx(spark, pages, redirects, cfg, cands=cands)
             mentions = _page_mentions(pages, rmap_bc, "en", ctx, cfg)
-            mention_counts[strategy] = mentions.count()
-            results[strategy] = round(time.time() - t0, 2)
-            # untimed MULTISET fingerprint (count + order-independent
-            # decimal-summed per-row xxhash64): equal counts can mask
-            # differing rows (ADVICE r5) — this pins row-for-row equality
-            fp = mentions.agg(
+            # ONE pass computes the count AND a MULTISET fingerprint
+            # (order-independent decimal-summed per-row xxhash64): equal
+            # counts can mask differing rows (ADVICE r5) — the fingerprint
+            # pins row-for-row equality. The per-row hash is codegen and
+            # adds nothing measurable to the timed detection pass.
+            agg = mentions.agg(
+                F.count(F.lit(1)).alias("n"),
                 F.sum(F.xxhash64(*mentions.columns)
-                      .cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
-            mention_fps[strategy] = (mention_counts[strategy], str(fp))
+                      .cast("decimal(38,0)")).alias("h")).collect()[0]
+            mention_counts[strategy] = agg["n"]
+            results[strategy] = round(time.time() - t0, 2)
+            mention_fps[strategy] = (agg["n"], str(agg["h"]))
             release_caches()
         winner = min(results, key=results.get)
         auto_pick = "broadcast" if n_pairs <= threshold else "mapside"
