@@ -566,6 +566,24 @@ def q_kg_extract_triples_seed7(spark, sf_dir):
     return triples.select("subj", "pred", "obj").distinct()
 
 
+def q_kg_extract_dict(spark, sf_dir):
+    """End-to-end DICTIONARY-mode extract over the ANCHORED fixture corpus
+    — the default at-scale mention strategy with reference-shaped input:
+    patterns learned in anchors mode, mentions from the broadcast
+    Aho-Corasick dictionary + tf-idf disambiguation, keeps-a-link filter
+    active. Deterministic pipeline → the triple set equals the anchors-mode
+    closed-form spec exactly (shared oracle — driver-checked mode
+    parity)."""
+    from fact_extraction_spark.plans.pipeline import PipelineConfig, extract
+
+    t, model, _ = _fixture_model(spark)
+    cfg = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                         dictionary_strategy="broadcast")
+    triples = extract(spark, t["pages"], model, t["types"], t["redirects"],
+                      cfg)
+    return triples.select("subj", "pred", "obj").distinct()
+
+
 def q_kg_extract_dict_unanchored(spark, sf_dir):
     """End-to-end DICTIONARY-mode extract over an ANCHOR-FREE corpus — the
     Common-Crawl shape (VERDICT r4 Next #3): patterns are learned from the
@@ -665,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_canonicalized": q_kg_extract_canonicalized,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_extract_triples_seed7": q_kg_extract_triples_seed7,
+        "kg_extract_dict": q_kg_extract_dict,
         "kg_extract_dict_unanchored": q_kg_extract_dict_unanchored,
         "dictionary_mentions": q_dictionary_mentions,
         "dictionary_mentions_mapside": q_dictionary_mentions_mapside,
@@ -971,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         # AC dictionary alone), so both queries share this oracle.
         "kg_extract_triples": _FIXTURE_TRIPLES_ORACLE,
         "kg_extract_triples_seed7": _FIXTURE_TRIPLES_SEED7_ORACLE,
+        "kg_extract_dict": _FIXTURE_TRIPLES_ORACLE,
         "kg_extract_dict_unanchored": _FIXTURE_TRIPLES_ORACLE,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _JACCARD_ORACLE,

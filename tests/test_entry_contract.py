@@ -44,7 +44,7 @@ def _rows(df_rows, columns):
 # gate; kg_extract_canonicalized runs it THREE times (raw + flag-on +
 # delta) so it also carries the `slowest` marker
 _SLOW_QUERIES = {"kg_extract_canonicalized", "kg_extract_triples",
-                 "kg_extract_dict_unanchored"}
+                 "kg_extract_dict", "kg_extract_dict_unanchored"}
 _SLOWEST_QUERIES = {"kg_extract_canonicalized"}
 
 
