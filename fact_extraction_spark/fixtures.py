@@ -88,9 +88,53 @@ def _wikilink(title: str) -> str:
     return "[[" + title.replace("_", " ") + "]]"
 
 
+# neutral filler vocabulary for fat pages — deliberately lowercase common
+# words so no filler token can collide with a generated entity alias
+# (aliases are Capitalized _SYLLABLES compounds) and trip the dictionary
+# automaton or the keeps-a-link filter
+_FILLER_WORDS = (
+    "harvest meadow lantern archive village chronicle season market "
+    "journey letter winter garden festival bridge valley orchard record "
+    "evening council road candle story stone river weather neighbor"
+).split()
+
+
+def _filler_paragraphs(rng: random.Random, first: str,
+                       target_bytes: int) -> list[list[str]]:
+    """Deterministic unanchored filler totalling ~``target_bytes`` of raw
+    wikitext, with cascade-exercising noise mixed in (templates, paired
+    refs, comments — all of which stage 1 must strip). Models the real
+    web-text shape where fact-bearing sentences are a tiny fraction of
+    page bytes."""
+    paras: list[list[str]] = []
+    size = 0
+    i = 0
+    while size < target_bytes:
+        words = [rng.choice(_FILLER_WORDS) for _ in range(rng.randint(28, 44))]
+        cut = len(words) // 2
+        sent = (f"{first} noted the {' '.join(words[:cut])} that year. "
+                f"The {' '.join(words[cut:])} remained in the record.")
+        if i % 5 == 2:
+            sent += " {{cite journal | title = %s }}" % " ".join(words[:4])
+        if i % 7 == 3:
+            sent += "<ref>%s</ref>" % " ".join(words[:5])
+        if i % 11 == 4:
+            sent += "<!-- fixture noise block -->"
+        paras.append([sent])
+        size += len(sent) + 2
+        i += 1
+    return paras
+
+
 def _person_wikitext(rng: random.Random, first: str, sentences: list[str],
-                     giant: bool = False) -> str:
-    """Assemble a page's raw wikitext: infobox + noise + sentence paragraphs."""
+                     giant: bool = False, fat_kb: int = 0) -> str:
+    """Assemble a page's raw wikitext: infobox + noise + sentence paragraphs.
+
+    ``fat_kb`` > 0 pads the page with ~that many KiB of deterministic
+    unanchored filler (see ``_filler_paragraphs``) — the realistic web-page
+    shape (tens of KB/page, mostly non-fact text) for text-stage cost
+    measurement. 0 (default) keeps the historical compact pages so every
+    existing oracle row and bench corpus is byte-identical."""
     parts = [
         "{{Infobox person | name = %s | noise = {{nested|template}} }}" % first,
         "<!-- autogenerated fixture page -->",
@@ -108,6 +152,8 @@ def _person_wikitext(rng: random.Random, first: str, sentences: list[str],
         filler = [f"{first} kept a journal entry number {i} about the harvest."
                   for i in range(520)]
         paras.extend([[f] for f in filler])
+    if fat_kb > 0:
+        paras.extend(_filler_paragraphs(rng, first, fat_kb * 1024))
     body = []
     for p in paras:
         body.append(" ".join(p))
@@ -274,7 +320,7 @@ def _derive_pools(seed: int, n_persons: int):
 
 
 def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
-                          partitions: int = 64) -> None:
+                          partitions: int = 64, fat_kb: int = 0) -> None:
     """Distributed deterministic corpus generator for benchmarking.
 
     ``generate_corpus`` is a driver-side loop (fine for test-sized fixtures,
@@ -285,6 +331,13 @@ def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
     templates, pools, hub-city skew, giant page, redirect fixtures); the
     exact sentences differ because the serial generator threads one RNG
     through all persons.
+
+    ``fat_kb`` > 0 pads every person page with ~that many KiB of
+    deterministic unanchored filler (see ``_filler_paragraphs``) — the
+    realistic web-page shape. The filler draws its rng AFTER all
+    fact/sentence draws, so the fact tables and the extracted triple set
+    are identical between a fat and a thin corpus at the same
+    (seed, n_persons): only the text-stage byte volume changes.
     """
     import pandas as pd
 
@@ -338,7 +391,8 @@ def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
                 rng.shuffle(sentences)
                 if rng.random() < 0.3:
                     ptypes.append((person, "Agent"))
-                raw = _person_wikitext(rng, first, sentences, giant=is_giant)
+                raw = _person_wikitext(rng, first, sentences, giant=is_giant,
+                                       fat_kb=fat_kb)
                 rows.append({
                     "url": "https://en.wikipedia.org/wiki/" + person,
                     "warc_ts": _dt.datetime.fromtimestamp(
