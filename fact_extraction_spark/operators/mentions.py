@@ -52,6 +52,26 @@ TOKENS_AND_MENTIONS_SCHEMA = StructType([
 # per-executor automaton cache: {id(broadcast-value): TokenAhoCorasick}
 _AC_CACHE: dict[int, TokenAhoCorasick] = {}
 
+# per-executor scan-skip-set cache: {(id(ac), id(first_tok_set)): frozenset}
+_SKIP_CACHE: dict[tuple[int, int], frozenset] = {}
+
+
+def _scan_skip_set(ac: TokenAhoCorasick, ft: frozenset | None) -> frozenset:
+    """Tokens able to START any dictionary match: the automaton's root
+    transitions ∪ the tail first-token set. A sentence disjoint from this
+    set (ONE C-speed frozenset.isdisjoint over its token list) provably has
+    no automaton hit and no tail candidate, so scanners skip the Python
+    automaton walk and the per-token candidate scan outright — on
+    web-shaped pages that is the filler-majority fast path, leaving
+    tokenization as the only per-byte Python cost."""
+    key = (id(ac), id(ft))
+    s = _SKIP_CACHE.get(key)
+    if s is None:
+        s = ac.start_tokens if ft is None else (ac.start_tokens | ft)
+        _SKIP_CACHE.clear()
+        _SKIP_CACHE[key] = s
+    return s
+
 
 def _display_text(title: str) -> str:
     return title.replace("_", " ")
@@ -307,11 +327,13 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
                 for alias, entity in alias_bc.value)
             _AC_CACHE.clear()  # never hold more than one dictionary
             _AC_CACHE[key] = ac
+        skip = _scan_skip_set(ac, None)
         toks_out, ments_out = [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            hits = [(s, e, alias, entity)
-                    for s, e, (alias, entity) in ac.find(tokens)]
+            hits = ([] if skip.isdisjoint(tokens) else
+                    [(s, e, alias, entity)
+                     for s, e, (alias, entity) in ac.find(tokens)])
             toks_out.append(tokens)
             ments_out.append(hits)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
@@ -582,6 +604,8 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
 
+        skip = _scan_skip_set(ac, None)
+
         def _page(b) -> list:
             text = extract_article_text(
                 (bytes(b) if b is not None else b"").decode(
@@ -589,6 +613,8 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
             out = []
             for sent_id, r in enumerate(extract_sentences(text)):
                 tokens = tokenize(r["sentence"] or "")
+                if skip.isdisjoint(tokens):
+                    continue
                 hits = [(s, e, alias, entity)
                         for s, e, (alias, entity) in ac.find(tokens)]
                 if hits:
@@ -687,19 +713,53 @@ SENTENCE_HITS_SCHEMA = ArrayType(StructType([
         StructField("alias", StringType()),
         StructField("entity", StringType()),
     ]))),
+    StructField("cand", ArrayType(IntegerType())),
 ]))
+
+
+def collect_first_token_broadcast(tail: DataFrame,
+                                  max_rows: int = 2_000_000):
+    """Broadcast the DISTINCT first tokens of the tail alias keys as a
+    Python frozenset, or None when the set exceeds ``max_rows``.
+
+    Scale contract: the mapside split exists because the FULL dictionary
+    (alias, entity, key — 10^7+ multi-token rows) must never be collected,
+    but its first-token projection is orders of magnitude smaller (aliases
+    share first tokens: every "John …" person collapses to one entry) and
+    the n-gram tail join already drives this exact set through an
+    ``F.broadcast`` semi-join — i.e. Spark already collects it to the
+    driver. Handing the same set to the fused sentence UDF instead lets
+    candidate tail positions be computed IN the scan pass, so sentences
+    with no head hit, no anchor and no possible tail start are dropped
+    before they cross Arrow, and the survivors explode only their
+    candidate positions instead of every token. Above ``max_rows`` the
+    caller falls back to the relational posexplode + semi-join path."""
+    firsts = tail.select(F.split("key", " ")[0].alias("tok")).distinct()
+    rows = firsts.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    spark = tail.sparkSession
+    return spark.sparkContext.broadcast(frozenset(r["tok"] for r in rows))
 
 
 def fused_sentence_hits(pages: DataFrame, head_bc,
                         lang: str | None = "en",
-                        include_unanchored: bool = False) -> DataFrame:
+                        include_unanchored: bool = False,
+                        first_tok_bc=None,
+                        prune_empty: bool = False) -> DataFrame:
     """pages(html) → one row per sentence: (url, sent_id, rel_pos, tokens,
-    hits) where ``hits`` are the hot-head automaton matches (possibly
-    empty — every EXTRACTED sentence is emitted so the tail n-gram join
-    sees them all; ``include_unanchored`` lifts the reference-parity
-    keeps-a-link sentence filter for anchor-free web text). Same
-    per-executor automaton cache as the broadcast path, but the broadcast
-    payload is the bounded head, not the full dictionary."""
+    hits, cand) where ``hits`` are the hot-head automaton matches and
+    ``cand`` the token positions where a tail alias could start (empty
+    unless ``first_tok_bc`` — see collect_first_token_broadcast — is
+    given). ``include_unanchored`` lifts the reference-parity keeps-a-link
+    sentence filter for anchor-free web text. With ``prune_empty``,
+    sentences with no hit and no candidate position are dropped INSIDE the
+    UDF — on web-shaped pages the overwhelming filler majority, whose
+    tokens then never cross Arrow, never persist and never explode. Only
+    prune when the tail is covered: either ``first_tok_bc`` is set or the
+    dictionary has no tail at all. Same per-executor automaton cache as
+    the broadcast path, but the broadcast payload is the bounded head, not
+    the full dictionary."""
     from fact_extraction_spark.textops.wikitext import (
         extract_article_text, extract_sentences)
 
@@ -713,6 +773,8 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
                 for alias, entity in head_bc.value)
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
+        ft = first_tok_bc.value if first_tok_bc is not None else None
+        skip = _scan_skip_set(ac, ft)
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -723,9 +785,17 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
                     extract_sentences(text,
                                       include_unanchored=include_unanchored)):
                 tokens = tokenize(r["sentence"] or "")
-                hits = [(s, e, alias, entity)
-                        for s, e, (alias, entity) in ac.find(tokens)]
-                out.append((sent_id, r["rel_pos"], tokens, hits))
+                if skip.isdisjoint(tokens):
+                    # C-speed filler fast path: no token can start a match
+                    hits, cand = [], []
+                else:
+                    hits = [(s, e, alias, entity)
+                            for s, e, (alias, entity) in ac.find(tokens)]
+                    cand = ([i for i, t in enumerate(tokens) if t in ft]
+                            if ft is not None else [])
+                if prune_empty and not hits and not cand:
+                    continue
+                out.append((sent_id, r["rel_pos"], tokens, hits, cand))
             return out
 
         return html.map(_page)
@@ -742,15 +812,18 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
             F.col("s.rel_pos").alias("rel_pos"),
             F.col("s.tokens").alias("tokens"),
             F.col("s.hits").alias("hits"),
+            F.col("s.cand").alias("cand"),
         )
     )
 
 
-def sentence_head_hits(sentences: DataFrame, head_bc) -> DataFrame:
+def sentence_head_hits(sentences: DataFrame, head_bc,
+                       first_tok_bc=None) -> DataFrame:
     """Sentence-level analogue of ``fused_sentence_hits`` for callers that
     already hold sentence rows (url, sent_id, rel_pos, sentence): emits one
     row per sentence with tokens + hot-head automaton hits (possibly
-    empty). Same per-executor automaton cache."""
+    empty) + candidate tail positions when ``first_tok_bc`` is given. Same
+    per-executor automaton cache."""
     @pandas_udf(StructType([
         StructField("tokens", ArrayType(StringType())),
         StructField("hits", ArrayType(StructType([
@@ -759,6 +832,7 @@ def sentence_head_hits(sentences: DataFrame, head_bc) -> DataFrame:
             StructField("alias", StringType()),
             StructField("entity", StringType()),
         ]))),
+        StructField("cand", ArrayType(IntegerType())),
     ]))
     def _scan(sentence: pd.Series) -> pd.DataFrame:
         key = id(head_bc.value)
@@ -769,30 +843,46 @@ def sentence_head_hits(sentences: DataFrame, head_bc) -> DataFrame:
                 for alias, entity in head_bc.value)
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
-        toks_out, hits_out = [], []
+        ft = first_tok_bc.value if first_tok_bc is not None else None
+        skip = _scan_skip_set(ac, ft)
+        toks_out, hits_out, cand_out = [], [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            hits_out.append([(s, e, alias, entity)
-                             for s, e, (alias, entity) in ac.find(tokens)])
+            if skip.isdisjoint(tokens):
+                hits, cand = [], []
+            else:
+                hits = [(s, e, alias, entity)
+                        for s, e, (alias, entity) in ac.find(tokens)]
+                cand = ([i for i, t in enumerate(tokens) if t in ft]
+                        if ft is not None else [])
+            hits_out.append(hits)
+            cand_out.append(cand)
             toks_out.append(tokens)
-        return pd.DataFrame({"tokens": toks_out, "hits": hits_out})
+        return pd.DataFrame({"tokens": toks_out, "hits": hits_out,
+                             "cand": cand_out})
 
     return sentences.select(
         "url", "sent_id", "rel_pos", _scan(F.col("sentence")).alias("th")) \
         .select("url", "sent_id", "rel_pos",
                 F.col("th.tokens").alias("tokens"),
-                F.col("th.hits").alias("hits"))
+                F.col("th.hits").alias("hits"),
+                F.col("th.cand").alias("cand"))
 
 
 def detect_dictionary_mentions_mapside_sentences(
     sentences: DataFrame, head_bc, tail: DataFrame,
-    max_tail_tokens: int = 6,
+    max_tail_tokens: int = 6, max_first_tokens: int = 2_000_000,
 ) -> DataFrame:
     """Map-side dictionary detection over pre-split sentence rows: hot-head
     automaton hits ∪ relational n-gram tail join (same machinery as
-    ``detect_dictionary_mentions_mapside``, minus the page extraction)."""
-    sent = sentence_head_hits(sentences, head_bc)
-    return _mapside_union(sent, tail, max_tail_tokens)
+    ``detect_dictionary_mentions_mapside``, minus the page extraction).
+    Candidate tail positions are marked in the scan pass whenever the
+    tail's first-token set fits ``max_first_tokens`` (see
+    collect_first_token_broadcast), so only they explode downstream."""
+    ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
+    sent = sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc)
+    return _mapside_union(sent, tail, max_tail_tokens,
+                          use_cand=ft_bc is not None)
 
 
 SENTENCE_HITS_ANCHORS_SCHEMA = ArrayType(StructType([
@@ -806,14 +896,16 @@ SENTENCE_HITS_ANCHORS_SCHEMA = ArrayType(StructType([
         StructField("entity", StringType()),
     ]))),
     StructField("amentions", MENTION_SCHEMA),
+    StructField("cand", ArrayType(IntegerType())),
 ]))
 
 
 def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                                     redirect_map_bc,
                                     lang: str | None = "en",
-                                    include_unanchored: bool = False
-                                    ) -> DataFrame:
+                                    include_unanchored: bool = False,
+                                    first_tok_bc=None,
+                                    prune_empty: bool = False) -> DataFrame:
     """ONE corpus pass emitting BOTH dictionary-automaton hits and
     redirect-resolved anchor mentions per sentence.
 
@@ -822,9 +914,19 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
     building for the stage-2b tf-idf ranking). Running them as separate
     fused UDFs costs two full html→sentences→tokens passes over the
     corpus; this function pays the extraction exactly once. Output: one
-    row per sentence with (tokens, hits, amentions), hits/amentions
-    possibly empty (every sentence is emitted so the n-gram tail join sees
-    the full corpus)."""
+    row per sentence with (tokens, hits, amentions, cand) — ``cand`` is
+    the candidate tail-start positions when ``first_tok_bc`` (see
+    collect_first_token_broadcast) is given, else empty.
+
+    ``prune_empty`` drops sentences with no hit, no anchor mention and no
+    candidate position INSIDE the UDF: on web-shaped pages that is the
+    filler majority, whose tokens then never cross Arrow, never enter the
+    sentence persist and never reach the n-gram explode — the per-byte
+    cost of anchor-free corpora collapses to the Python cascade+automaton
+    scan. Only safe when every downstream consumer filters on one of the
+    three (hot_hits, anchor_mention_rows, the cand-driven tail join) AND
+    the tail is covered: pass it only with ``first_tok_bc`` set or when no
+    tail path will run (full-dictionary broadcast mode)."""
     from fact_extraction_spark.textops.wikitext import (
         extract_article_text, extract_sentences)
 
@@ -839,6 +941,8 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
         rmap = redirect_map_bc.value
+        ft = first_tok_bc.value if first_tok_bc is not None else None
+        skip = _scan_skip_set(ac, ft)
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -849,10 +953,19 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                     extract_sentences(text,
                                       include_unanchored=include_unanchored)):
                 tokens = tokenize(r["sentence"] or "")
-                hits = [(s, e, alias, entity)
-                        for s, e, (alias, entity) in ac.find(tokens)]
+                if skip.isdisjoint(tokens):
+                    # C-speed filler fast path: no token can start a match
+                    hits, cand = [], []
+                else:
+                    hits = [(s, e, alias, entity)
+                            for s, e, (alias, entity) in ac.find(tokens)]
+                    cand = ([i for i, t in enumerate(tokens) if t in ft]
+                            if ft is not None else [])
                 aspans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
-                out.append((sent_id, r["rel_pos"], tokens, hits, aspans))
+                if prune_empty and not hits and not aspans and not cand:
+                    continue
+                out.append((sent_id, r["rel_pos"], tokens, hits, aspans,
+                            cand))
             return out
 
         return html.map(_page)
@@ -870,6 +983,7 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
             F.col("s.tokens").alias("tokens"),
             F.col("s.hits").alias("hits"),
             F.col("s.amentions").alias("amentions"),
+            F.col("s.cand").alias("cand"),
         )
     )
 
@@ -905,27 +1019,40 @@ def anchor_mention_rows(sent: DataFrame) -> DataFrame:
 def detect_dictionary_mentions_mapside(
     pages: DataFrame, head_bc, tail: DataFrame,
     lang: str | None = "en", max_tail_tokens: int = 6,
+    max_first_tokens: int = 2_000_000,
 ) -> DataFrame:
     """Dictionary mention detection without a full-dictionary collect.
 
     Hot path: the bounded head automaton inside the fused pandas UDF.
-    Tail path: sentence n-grams (1..max_tail_tokens) built with pure column
-    algebra, pre-filtered to positions whose first token starts some tail
-    alias (broadcast semi-join), then a shuffle join against the tail alias
-    table on the tokenizer-space key — at warehouse scale that table is
-    bucketed by ``key`` so the join co-locates. Output schema matches
-    ``fused_dictionary_mentions``.
+    Tail path: sentence n-grams (1..max_tail_tokens) pre-filtered to
+    positions whose first token starts some tail alias, then a shuffle
+    join against the tail alias table on the tokenizer-space key — at
+    warehouse scale that table is bucketed by ``key`` so the join
+    co-locates. The position pre-filter runs inside the scan UDF against
+    the broadcast first-token set whenever it fits ``max_first_tokens``
+    (sentences with no hit and no candidate are dropped before Arrow);
+    above the bound it falls back to posexplode + broadcast semi-join over
+    every sentence. Output schema matches ``fused_dictionary_mentions``.
     """
     from fact_extraction_spark.caches import track
 
-    sent = track(fused_sentence_hits(pages, head_bc, lang=lang).persist())
-    return _mapside_union(sent, tail, max_tail_tokens)
+    ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
+    sent = track(fused_sentence_hits(
+        pages, head_bc, lang=lang, first_tok_bc=ft_bc,
+        prune_empty=ft_bc is not None).persist())
+    return _mapside_union(sent, tail, max_tail_tokens,
+                          use_cand=ft_bc is not None)
 
 
 def _mapside_union(sent: DataFrame, tail: DataFrame,
-                   max_tail_tokens: int) -> DataFrame:
+                   max_tail_tokens: int, use_cand: bool = False) -> DataFrame:
     """Hot-head hits ∪ n-gram tail join over sentence rows
-    (url, sent_id, rel_pos, tokens, hits)."""
+    (url, sent_id, rel_pos, tokens, hits[, cand]).
+
+    ``use_cand`` requires ``sent.cand`` to hold the candidate tail-start
+    positions (computed in the scan UDF against the broadcast first-token
+    set): the n-gram build then explodes ONLY those positions — on filler-
+    heavy web text a >100× row reduction over posexploding every token."""
     from fact_extraction_spark.caches import track
 
     hot = hot_hits(sent)
@@ -936,15 +1063,21 @@ def _mapside_union(sent: DataFrame, tail: DataFrame,
     # zero rows — short-circuit with one cheap dimension-table probe
     if tail_keyed.limit(1).count() == 0:
         return hot
-    first_toks = F.broadcast(
-        tail_keyed.select(F.split("key", " ")[0].alias("tok")).distinct())
 
-    # candidate positions: only where a tail alias could start
-    pos = (
-        sent.select("url", "sent_id", "tokens",
-                    F.posexplode("tokens").alias("start", "tok"))
-        .join(first_toks, "tok", "left_semi")
-    )
+    if use_cand:
+        # candidate positions were marked in the scan pass (same semantics
+        # as the semi-join below: token ∈ distinct tail first-tokens)
+        pos = sent.select("url", "sent_id", "tokens",
+                          F.explode("cand").alias("start"))
+    else:
+        first_toks = F.broadcast(
+            tail_keyed.select(F.split("key", " ")[0].alias("tok")).distinct())
+        # candidate positions: only where a tail alias could start
+        pos = (
+            sent.select("url", "sent_id", "tokens",
+                        F.posexplode("tokens").alias("start", "tok"))
+            .join(first_toks, "tok", "left_semi")
+        )
     gram_structs = [
         F.struct(
             F.col("start").alias("start"),

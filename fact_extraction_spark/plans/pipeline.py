@@ -38,7 +38,8 @@ from fact_extraction_spark.operators.link_ranking import (
 from fact_extraction_spark.operators.mentions import (
     _mapside_union, alias_join_keys, anchor_mention_rows,
     anchor_windows_relational,
-    build_alias_candidates, collect_alias_broadcast, collect_redirect_map,
+    build_alias_candidates, collect_alias_broadcast,
+    collect_first_token_broadcast, collect_redirect_map,
     fused_anchor_mentions, fused_anchor_windows,
     fused_sentence_hits_and_anchors, hot_hits, split_alias_dictionary,
 )
@@ -104,6 +105,18 @@ class PipelineConfig:
     dictionary_scan_unanchored: bool = False
     dictionary_hot_k: int = 100_000      # head size (aliases, not pairs)
     max_tail_tokens: int = 6             # n-gram bound for the tail join
+    # Dictionary-mode sentence pruning: drop sentences with no automaton
+    # hit, no anchor mention and no possible tail-alias start INSIDE the
+    # scan UDF — on web-shaped pages the filler majority, whose tokens then
+    # never cross Arrow, never enter the sentence persist and never reach
+    # the n-gram explode. Semantics-neutral (every downstream consumer
+    # filters on one of the three); in mapside mode it needs the tail's
+    # first-token set broadcast, gated by
+    # dictionary_first_token_broadcast_rows (the set is orders of magnitude
+    # smaller than the dictionary — aliases share first tokens — and the
+    # old posexplode path broadcast the very same set for its semi-join).
+    dictionary_prune_sentences: bool = True
+    dictionary_first_token_broadcast_rows: int = 2_000_000
     # Anchors-mode redirect resolution:
     # "broadcast" (default) — match-time Python dict from a bounded
     #   driver collect; fastest while the redirect table fits comfortably.
@@ -251,8 +264,15 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
             "long-alias overflow (> max_tail_tokens=%d tokens) dominates; "
             "consider raising max_tail_tokens", n_head,
             cfg.dictionary_hot_k, cfg.max_tail_tokens)
+    tail_keyed = track(tail.select("alias", "entity", "key").persist())
+    # first-token set for in-scan candidate marking + sentence pruning
+    # (None when pruning is off or the set exceeds the broadcast bound —
+    # the tail join then falls back to posexplode + semi-join)
+    ft_bc = (collect_first_token_broadcast(
+        tail_keyed, cfg.dictionary_first_token_broadcast_rows)
+        if cfg.dictionary_prune_sentences else None)
     return {"mode": "mapside", "head_bc": head_bc, "ambiguous": ambiguous,
-            "tail": track(tail.select("alias", "entity", "key").persist())}
+            "tail": tail_keyed, "first_tok_bc": ft_bc}
 
 
 def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
@@ -280,17 +300,26 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
         # full html→sentences pass over the corpus
         head_bc = (dict_ctx["alias_bc"] if dict_ctx["mode"] == "broadcast"
                    else dict_ctx["head_bc"])
+        # prune filler sentences in the scan UDF whenever the tail is
+        # covered: broadcast mode has no tail (the head IS the full
+        # dictionary), mapside mode needs the first-token set broadcast
+        ft_bc = dict_ctx.get("first_tok_bc")
+        prune = bool(cfg.dictionary_prune_sentences if cfg else True) and (
+            dict_ctx["mode"] == "broadcast" or ft_bc is not None)
         sent = track(fused_sentence_hits_and_anchors(
             pages, head_bc, redirect_map_bc, lang=lang,
             include_unanchored=(cfg.dictionary_scan_unanchored if cfg
-                                else False)).persist())
+                                else False),
+            first_tok_bc=ft_bc, prune_empty=prune).persist())
         if dict_ctx["mode"] == "broadcast":
             candidates = hot_hits(sent)
         else:
             candidates = _mapside_union(
-                sent.select("url", "sent_id", "rel_pos", "tokens", "hits"),
+                sent.select("url", "sent_id", "rel_pos", "tokens", "hits",
+                            "cand"),
                 dict_ctx["tail"],
-                (cfg.max_tail_tokens if cfg else 6))
+                (cfg.max_tail_tokens if cfg else 6),
+                use_cand=ft_bc is not None)
         # stage 2b runs ONLY over hits of ambiguous aliases (dictionary-side
         # split, see _build_dict_ctx); unambiguous hits pass through — the
         # ranking subplan's corpus-sized shuffles shrink to the ambiguous

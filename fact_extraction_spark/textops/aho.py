@@ -49,6 +49,11 @@ class TokenAhoCorasick:
         self._out[state].append((len(tokens), payload))
 
     def build(self) -> "TokenAhoCorasick":
+        # every match's first token is a root transition (aliases are added
+        # from the root), so a sentence disjoint from this set cannot match
+        # — scanners use one C-speed frozenset.isdisjoint as a fast path
+        # instead of walking the automaton over filler text
+        self.start_tokens = frozenset(self._next[0].keys())
         queue: deque[int] = deque()
         for state in self._next[0].values():
             self._fail[state] = 0

@@ -281,3 +281,57 @@ def test_capitalize_colliding_redirects_resolve_identically(spark):
     jn = rows(anchor_windows_relational(pages, redirects, lang="en", window=2))
     assert bc == jn and bc
     assert bc[0][3] == "Alpha_City"
+
+
+def test_mapside_first_token_prune_fallback_identical(spark, tables):
+    """The in-scan candidate path (tail first-token set broadcast into the
+    scan UDF: filler sentences pruned before Arrow, only candidate
+    positions explode) and the posexplode + semi-join fallback emit
+    identical mention rows."""
+    from fact_extraction_spark.operators.mentions import (
+        build_alias_candidates, collect_alias_broadcast,
+        detect_dictionary_mentions_mapside, split_alias_dictionary)
+
+    pages = tables["pages"]
+    cands = build_alias_candidates(pages, tables["redirects"])
+    head, tail = split_alias_dictionary(cands, hot_k=3, max_tail_tokens=6)
+    head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
+
+    def rows(max_ft):
+        return sorted(
+            (r["url"], r["sent_id"], r["start"], r["end"],
+             r["alias"], r["entity"], tuple(r["tokens"]))
+            for r in detect_dictionary_mentions_mapside(
+                pages, head_bc, tail, lang=None, max_tail_tokens=6,
+                max_first_tokens=max_ft).collect())
+
+    pruned, fallback = rows(2_000_000), rows(0)
+    assert pruned == fallback and pruned
+
+
+def test_unanchored_mapside_prune_identical_through_pipeline(spark, tables):
+    """dictionary_prune_sentences on/off is mention-row-identical through
+    the full _page_mentions plan in the web shape that exercises every
+    branch at once: mapside strategy (hot head + n-gram tail) +
+    dictionary_scan_unanchored (every sentence scanned, anchors lifted) +
+    ambiguity ranking riding on anchor-built profiles."""
+    from fact_extraction_spark.plans.pipeline import (
+        PipelineConfig, _build_dict_ctx, _page_mentions)
+
+    rmap = collect_redirect_map(spark, tables["redirects"])
+    outs = []
+    for prune in (True, False):
+        cfg = PipelineConfig(mention_mode="dictionary",
+                             dictionary_strategy="mapside",
+                             dictionary_scan_unanchored=True,
+                             dictionary_hot_k=3,
+                             dictionary_prune_sentences=prune)
+        ctx = _build_dict_ctx(spark, tables["pages"], tables["redirects"],
+                              cfg)
+        assert (ctx["first_tok_bc"] is not None) == prune
+        m = _page_mentions(tables["pages"], rmap, "en", ctx, cfg)
+        outs.append(sorted(
+            (r["url"], r["sent_id"], r["start"], r["end"], r["entity"])
+            for r in m.collect()))
+        ctx["tail"].unpersist()
+    assert outs[0] == outs[1] and outs[0]
