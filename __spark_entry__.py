@@ -610,6 +610,33 @@ def q_kg_extract_dict_unanchored(spark, sf_dir):
     return triples.select("subj", "pred", "obj").distinct()
 
 
+def q_kg_extract_dict_mapside(spark, sf_dir):
+    """q_kg_extract_dict_unanchored with the MAPSIDE dictionary strategy
+    forced (tiny hot head so the n-gram tail join carries real weight) —
+    end-to-end driver check of the at-scale detection plan: bounded-head
+    automaton + first-token candidate marking + in-scan sentence pruning +
+    relational tail join (operators/mentions.py). Strategy choice is
+    semantics-free, so the triple set equals the shared closed-form
+    oracle."""
+    from fact_extraction_spark.plans.pipeline import PipelineConfig, extract
+
+    t, model, _ = _fixture_model(spark)
+    stripped = t["pages"].withColumn(
+        "html", F.encode(
+            F.regexp_replace(
+                F.regexp_replace(F.decode("html", "utf-8"),
+                                 r"\[\[([^|\]]*)\|([^\]]*)\]\]", "$2"),
+                r"\[\[([^\]]*)\]\]", "$1"),
+            "utf-8"))
+    cfg2 = PipelineConfig(articles_limit=0, mention_mode="dictionary",
+                          dictionary_strategy="mapside",
+                          dictionary_hot_k=5,
+                          dictionary_scan_unanchored=True)
+    triples = extract(spark, stripped, model, t["types"], t["redirects"],
+                      cfg2)
+    return triples.select("subj", "pred", "obj").distinct()
+
+
 def q_dictionary_mentions(spark, sf_dir):
     """North-star mention detection: Aho-Corasick UDF over documents with a
     broadcast dictionary; oracle = token-position scan in SQL."""
@@ -685,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_triples_seed7": q_kg_extract_triples_seed7,
         "kg_extract_dict": q_kg_extract_dict,
         "kg_extract_dict_unanchored": q_kg_extract_dict_unanchored,
+        "kg_extract_dict_mapside": q_kg_extract_dict_mapside,
         "dictionary_mentions": q_dictionary_mentions,
         "dictionary_mentions_mapside": q_dictionary_mentions_mapside,
         "ngram_jaccard": q_ngram_jaccard,
@@ -992,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_triples_seed7": _FIXTURE_TRIPLES_SEED7_ORACLE,
         "kg_extract_dict": _FIXTURE_TRIPLES_ORACLE,
         "kg_extract_dict_unanchored": _FIXTURE_TRIPLES_ORACLE,
+        "kg_extract_dict_mapside": _FIXTURE_TRIPLES_ORACLE,
         "ngram_jaccard": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _JACCARD_ORACLE,
         "minhash_lsh_guarded": f"""
