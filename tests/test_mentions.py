@@ -335,3 +335,39 @@ def test_unanchored_mapside_prune_identical_through_pipeline(spark, tables):
             for r in m.collect()))
         ctx["tail"].unpersist()
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_scan_skip_set_fast_path_is_exact():
+    """The C-speed filler fast path rests on one invariant: every automaton
+    match's FIRST token is a root transition (aliases are added from the
+    root), so `start_tokens.isdisjoint(tokens)` ⟹ no match. Property-check
+    it against brute-force substring search over random token-space
+    dictionaries and sentences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    toks = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "y"])
+    alias_st = st.lists(toks, min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(alias_st, min_size=1, max_size=8),
+           st.lists(toks, min_size=0, max_size=12))
+    def check(aliases, sentence):
+        # one entry per distinct alias (production dictionaries are
+        # distinct (alias, entity) pairs; duplicate add()s duplicate hits)
+        aliases = [list(a) for a in {tuple(a) for a in aliases}]
+        ac = TokenAhoCorasick.from_entries(
+            (a, tuple(a)) for a in aliases)
+        hits = sorted((s, e) for s, e, _ in ac.find(sentence))
+        # brute force: every alias occurrence as a contiguous token run
+        want = sorted(
+            (i, i + len(a) - 1)
+            for a in {tuple(a) for a in aliases}
+            for i in range(len(sentence) - len(a) + 1)
+            if tuple(sentence[i:i + len(a)]) == tuple(a))
+        assert hits == want
+        # the fast-path implication: disjoint ⟹ no hits
+        if ac.start_tokens.isdisjoint(sentence):
+            assert not hits
+
+    check()
