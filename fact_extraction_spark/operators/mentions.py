@@ -26,6 +26,8 @@ alias table for the long tail, keeping the automaton to the hot head.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +56,134 @@ _AC_CACHE: dict[int, TokenAhoCorasick] = {}
 
 # per-executor scan-skip-set cache: {(id(ac), id(first_tok_set)): frozenset}
 _SKIP_CACHE: dict[tuple[int, int], frozenset] = {}
+
+
+_RX_WORD_TOKEN = re.compile(r"\w+(?:'\w+)?\Z")
+
+
+def _trie_pattern(words: list[str]) -> str:
+    """Minimal regex for the word set via shared-prefix trie emission —
+    the classic trick for compiling a large alternation the ``re`` engine
+    can run without per-branch backtracking blowup."""
+    trie: dict = {}
+    for w in words:
+        d = trie
+        for ch in w:
+            d = d.setdefault(ch, {})
+        d[""] = None
+    def emit(d: dict) -> str:
+        end = "" in d
+        alts, chars = [], []
+        for ch, sub in sorted((c, s) for c, s in d.items() if c != ""):
+            s = emit(sub)
+            if s == "":
+                chars.append(ch)
+            else:
+                alts.append(re.escape(ch) + s)
+        if chars:
+            alts.append(re.escape(chars[0]) if len(chars) == 1
+                        else "[" + "".join(re.escape(c) for c in chars) + "]")
+        if not alts:
+            return ""
+        pat = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        return "(?:" + pat + ")?" if end else pat
+    return emit(trie)
+
+
+def build_skip_probe(skip: frozenset, max_tokens: int = 250_000):
+    """Compile the skip-token set into ONE C-speed regex over RAW sentence
+    text, or None when it can't be done exactly/cheaply.
+
+    Word-shaped tokens get ``\\b``-bounded trie alternation; single-char
+    punctuation tokens a character class. The probe is a conservative
+    SUPERSET test: if it does NOT match, the sentence's tokenization
+    provably contains no skip token (a word token appears in text bounded
+    by non-word chars — anything word-adjacent would have been absorbed
+    into the token; a punctuation char is a token wherever it appears), so
+    tokenization itself can be skipped. Callers must first undo the only
+    two normalize_sentence transforms able to MERGE characters into a new
+    token (footnote and non-ASCII deletion — see _probe_text); all other
+    normalize steps only insert/collapse spaces or drop whole words, which
+    never create tokens. False positives just take the slow exact path."""
+    if len(skip) > max_tokens:
+        return None
+    words, puncts = [], []
+    for t in skip:
+        if _RX_WORD_TOKEN.match(t):
+            words.append(t)
+        elif len(t) == 1:
+            puncts.append(t)
+        else:
+            return None  # unreachable from tokenize-space; stay safe
+    parts = []
+    if words:
+        parts.append(r"\b(?:" + _trie_pattern(sorted(words)) + r")\b")
+    if puncts:
+        parts.append("[" + "".join(re.escape(c) for c in puncts) + "]")
+    if not parts:
+        return re.compile(r"(?!)")  # empty skip set: never matches
+    return re.compile("|".join(parts))
+
+
+_PROBE_CACHE: dict[tuple[int, int], object] = {}
+
+
+def _skip_probe(ac: TokenAhoCorasick, ft: frozenset | None):
+    """Per-executor cached build_skip_probe over _scan_skip_set(ac, ft)."""
+    key = (id(ac), id(ft))
+    if key not in _PROBE_CACHE:
+        _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = build_skip_probe(_scan_skip_set(ac, ft))
+    return _PROBE_CACHE[key]
+
+
+def _probe_text(raw: str) -> str:
+    """The probe-safe view of a raw sentence: apply the two
+    normalize_sentence deletions able to merge fragments into a new token
+    (non-ASCII chars, ``[n]`` footnotes) — skipped entirely on the common
+    all-ASCII bracket-free case."""
+    from fact_extraction_spark.textops.wikitext import (
+        _RX_FOOTNOTE, _RX_NON_ASCII)
+    if raw.isascii() and "[" not in raw:
+        return raw
+    return _RX_FOOTNOTE.sub("", _RX_NON_ASCII.sub("", raw))
+
+
+def _scan_tokens(tokens: list[str], ac: TokenAhoCorasick,
+                 skip: frozenset, ft: frozenset | None):
+    """(hits, cand) for one token list, touching Python per OCCURRENCE of a
+    skip token instead of per token: one C-speed set intersection decides
+    emptiness, C-speed list.index locates the few matching positions, and
+    the automaton runs as an anchored goto-walk from just those starts
+    (find_at). Identical result sets to ac.find + the per-token candidate
+    comprehension — the entity-dense web shape (most sentences contain
+    SOME dictionary token but few positions) stops paying a Python loop
+    over every token."""
+    inter = skip.intersection(tokens)
+    if not inter:
+        return [], []
+    st = ac.start_tokens
+    starts: list[int] = []
+    cand: list[int] = []
+    index = tokens.index
+    for t in inter:
+        in_head = t in st
+        in_ft = ft is not None and t in ft
+        i = 0
+        while True:
+            try:
+                i = index(t, i)
+            except ValueError:
+                break
+            if in_head:
+                starts.append(i)
+            if in_ft:
+                cand.append(i)
+            i += 1
+    hits = ([(s, e, alias, entity) for s, e, (alias, entity)
+             in ac.find_at(tokens, sorted(starts))] if starts else [])
+    cand.sort()
+    return hits, cand
 
 
 def _scan_skip_set(ac: TokenAhoCorasick, ft: frozenset | None) -> frozenset:
@@ -331,9 +461,7 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
         toks_out, ments_out = [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            hits = ([] if skip.isdisjoint(tokens) else
-                    [(s, e, alias, entity)
-                     for s, e, (alias, entity) in ac.find(tokens)])
+            hits, _ = _scan_tokens(tokens, ac, skip, None)
             toks_out.append(tokens)
             ments_out.append(hits)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
@@ -613,10 +741,7 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
             out = []
             for sent_id, r in enumerate(extract_sentences(text)):
                 tokens = tokenize(r["sentence"] or "")
-                if skip.isdisjoint(tokens):
-                    continue
-                hits = [(s, e, alias, entity)
-                        for s, e, (alias, entity) in ac.find(tokens)]
+                hits, _ = _scan_tokens(tokens, ac, skip, None)
                 if hits:
                     out.append((sent_id, r["rel_pos"], tokens, hits))
             return out
@@ -761,7 +886,7 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
     the broadcast path, but the broadcast payload is the bounded head, not
     the full dictionary."""
     from fact_extraction_spark.textops.wikitext import (
-        extract_article_text, extract_sentences)
+        extract_article_text, extract_sentences, tokens_of_normalized)
 
     @pandas_udf(SENTENCE_HITS_SCHEMA)
     def _fused(html: pd.Series) -> pd.Series:
@@ -775,6 +900,9 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
             _AC_CACHE[key] = ac
         ft = first_tok_bc.value if first_tok_bc is not None else None
         skip = _scan_skip_set(ac, ft)
+        # adaptive per-batch probe — see fused_sentence_hits_and_anchors
+        bstate = {"probe": (_skip_probe(ac, ft) if prune_empty else None),
+                  "n": 0, "m": 0}
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -783,16 +911,20 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
             out = []
             for sent_id, r in enumerate(
                     extract_sentences(text,
-                                      include_unanchored=include_unanchored)):
-                tokens = tokenize(r["sentence"] or "")
-                if skip.isdisjoint(tokens):
-                    # C-speed filler fast path: no token can start a match
-                    hits, cand = [], []
-                else:
-                    hits = [(s, e, alias, entity)
-                            for s, e, (alias, entity) in ac.find(tokens)]
-                    cand = ([i for i, t in enumerate(tokens) if t in ft]
-                            if ft is not None else [])
+                                      include_unanchored=include_unanchored,
+                                      normalize=False)):
+                raw = r["sentence"] or ""
+                probe = bstate["probe"]
+                if probe is not None and not r["anchors"]:
+                    bstate["n"] += 1
+                    if probe.search(_probe_text(raw)) is None:
+                        # filler fast path: skip normalize+tokenize
+                        bstate["m"] += 1
+                        continue
+                    if bstate["n"] >= 1024 and bstate["m"] * 8 < bstate["n"]:
+                        bstate["probe"] = None
+                tokens = tokens_of_normalized(raw)
+                hits, cand = _scan_tokens(tokens, ac, skip, ft)
                 if prune_empty and not hits and not cand:
                     continue
                 out.append((sent_id, r["rel_pos"], tokens, hits, cand))
@@ -848,13 +980,7 @@ def sentence_head_hits(sentences: DataFrame, head_bc,
         toks_out, hits_out, cand_out = [], [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            if skip.isdisjoint(tokens):
-                hits, cand = [], []
-            else:
-                hits = [(s, e, alias, entity)
-                        for s, e, (alias, entity) in ac.find(tokens)]
-                cand = ([i for i, t in enumerate(tokens) if t in ft]
-                        if ft is not None else [])
+            hits, cand = _scan_tokens(tokens, ac, skip, ft)
             hits_out.append(hits)
             cand_out.append(cand)
             toks_out.append(tokens)
@@ -928,7 +1054,7 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
     the tail is covered: pass it only with ``first_tok_bc`` set or when no
     tail path will run (full-dictionary broadcast mode)."""
     from fact_extraction_spark.textops.wikitext import (
-        extract_article_text, extract_sentences)
+        extract_article_text, extract_sentences, tokens_of_normalized)
 
     @pandas_udf(SENTENCE_HITS_ANCHORS_SCHEMA)
     def _fused(html: pd.Series) -> pd.Series:
@@ -943,6 +1069,14 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
         rmap = redirect_map_bc.value
         ft = first_tok_bc.value if first_tok_bc is not None else None
         skip = _scan_skip_set(ac, ft)
+        # adaptive per-batch probe: the raw-sentence regex skips
+        # normalize+tokenize for inert filler, but on entity-dense text
+        # (most sentences naming SOME dictionary token) it is pure
+        # overhead — stop probing for the rest of the batch once a 1024-
+        # sentence sample shows the skip rate under the ~1/8 breakeven.
+        # Purely a performance device: output is invariant either way.
+        bstate = {"probe": (_skip_probe(ac, ft) if prune_empty else None),
+                  "n": 0, "m": 0}
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -951,16 +1085,24 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
             out = []
             for sent_id, r in enumerate(
                     extract_sentences(text,
-                                      include_unanchored=include_unanchored)):
-                tokens = tokenize(r["sentence"] or "")
-                if skip.isdisjoint(tokens):
-                    # C-speed filler fast path: no token can start a match
-                    hits, cand = [], []
-                else:
-                    hits = [(s, e, alias, entity)
-                            for s, e, (alias, entity) in ac.find(tokens)]
-                    cand = ([i for i, t in enumerate(tokens) if t in ft]
-                            if ft is not None else [])
+                                      include_unanchored=include_unanchored,
+                                      normalize=False)):
+                raw = r["sentence"] or ""
+                probe = bstate["probe"]
+                if probe is not None and not r["anchors"]:
+                    bstate["n"] += 1
+                    if probe.search(_probe_text(raw)) is None:
+                        # filler fast path: the regex scan of the RAW
+                        # sentence proves no token can start a match and
+                        # no anchor exists — skip normalize+tokenize
+                        # (sent_id still advances: the row list is
+                        # unpruned)
+                        bstate["m"] += 1
+                        continue
+                    if bstate["n"] >= 1024 and bstate["m"] * 8 < bstate["n"]:
+                        bstate["probe"] = None
+                tokens = tokens_of_normalized(raw)
+                hits, cand = _scan_tokens(tokens, ac, skip, ft)
                 aspans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
                 if prune_empty and not hits and not aspans and not cand:
                     continue

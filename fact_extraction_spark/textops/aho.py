@@ -54,6 +54,11 @@ class TokenAhoCorasick:
         # — scanners use one C-speed frozenset.isdisjoint as a fast path
         # instead of walking the automaton over filler text
         self.start_tokens = frozenset(self._next[0].keys())
+        # pre-failure outputs: aliases whose FULL token path ends at each
+        # state (find_at needs them — the failure-merged _out lists also
+        # carry proper-suffix matches, which an anchored walk from a given
+        # start position must not emit)
+        self._out_raw = [list(o) for o in self._out]
         queue: deque[int] = deque()
         for state in self._next[0].values():
             self._fail[state] = 0
@@ -82,6 +87,33 @@ class TokenAhoCorasick:
             state = self._next[state].get(tok, 0)
             for length, payload in self._out[state]:
                 yield (i - length + 1, i, payload)
+
+    def find_at(self, tokens: list[str], starts) -> list[tuple]:
+        """All matches STARTING at the given positions, as sorted
+        (start, end_inclusive, payload) tuples.
+
+        Anchored goto-walk from the root per start position — no failure
+        links, pre-failure outputs only, so the result over
+        ``starts = [i for i, t in enumerate(tokens) if t in start_tokens]``
+        equals ``find(tokens)`` as a set (every match begins on a root
+        transition). Scanners use this when they already know the few
+        candidate positions (C-speed list.index over the skip-token
+        intersection): cost is O(candidates × longest alias) instead of a
+        Python step per sentence token."""
+        assert self._built, "find_at() before build()"
+        nxt, raw = self._next, self._out_raw
+        n = len(tokens)
+        out: list[tuple] = []
+        for j in starts:
+            state = 0
+            for k in range(j, n):
+                state = nxt[state].get(tokens[k])
+                if state is None:
+                    break
+                for _length, payload in raw[state]:
+                    out.append((j, k, payload))
+        out.sort(key=lambda m: (m[0], m[1]))
+        return out
 
     @classmethod
     def from_entries(cls, entries) -> "TokenAhoCorasick":

@@ -197,8 +197,35 @@ def normalize_sentence(sentence: str) -> str:
     return " ".join(kept)
 
 
+def tokens_of_normalized(raw: str) -> list[str]:
+    """Exactly ``tokenize(normalize_sentence(raw))`` without materializing
+    the normalized string — the per-sentence hot path of the dictionary
+    scan (2× measured: skips the newline/space regexes, the joined-string
+    rebuild and the second full-string token scan; the two DELETION subs
+    run only when the cheap isascii/bracket checks say they could fire).
+    Token-space equivalence holds because the token regex never crosses
+    whitespace and normalize's space transforms only insert/collapse
+    separators. The word split is on newline+space EXACTLY (not all
+    whitespace): normalize leaves tabs inside words, where they count
+    toward the 1-char-drop length rule. Property-pinned by
+    test_tokens_of_normalized_is_exact."""
+    from fact_extraction_spark.textops.tokenizer import _RX_TOKEN
+    if not raw.isascii():
+        raw = _RX_NON_ASCII.sub("", raw)
+    if "[" in raw:
+        raw = _RX_FOOTNOTE.sub("", raw)
+    out: list[str] = []
+    findall = _RX_TOKEN.findall
+    for seg in raw.split("\n"):
+        for w in seg.split(" "):
+            if len(w) > 1 or w.lower() == "a" or w == "I":
+                out.extend(findall(w))
+    return out
+
+
 def extract_sentences(html_text: str,
-                      include_unanchored: bool = False) -> list[dict]:
+                      include_unanchored: bool = False,
+                      normalize: bool = True) -> list[dict]:
     """Full stage-1b: article pseudo-HTML → sentence rows.
 
     Returns dicts ``{paragraph_idx, rel_pos, sentence, anchors}`` where
@@ -211,6 +238,14 @@ def extract_sentences(html_text: str,
     pages carry no wiki anchors at all, and dictionary-mode detection
     (pipeline cfg ``dictionary_scan_unanchored``) must be able to scan
     them.
+
+    ``normalize=False`` returns the RAW split sentence instead of
+    ``normalize_sentence(sent)`` — for scanners that decide per sentence
+    whether the row is worth normalizing at all (the dictionary scan's
+    filler fast path, operators/mentions.py) and call
+    ``normalize_sentence`` themselves on survivors. Row order, count and
+    every other field are identical either way, so enumerate-derived
+    sentence ids stay stable across the two modes.
     """
     paragraphs = extract_paragraphs(html_text)
     n = len(paragraphs)
@@ -226,7 +261,8 @@ def extract_sentences(html_text: str,
                     {
                         "paragraph_idx": i,
                         "rel_pos": i / n,
-                        "sentence": normalize_sentence(sent),
+                        "sentence": (normalize_sentence(sent) if normalize
+                                     else sent),
                         "anchors": anchors,
                     }
                 )

@@ -357,7 +357,7 @@ def test_scan_skip_set_fast_path_is_exact():
         # distinct (alias, entity) pairs; duplicate add()s duplicate hits)
         aliases = [list(a) for a in {tuple(a) for a in aliases}]
         ac = TokenAhoCorasick.from_entries(
-            (a, tuple(a)) for a in aliases)
+            (a, (" ".join(a), " ".join(a).title())) for a in aliases)
         hits = sorted((s, e) for s, e, _ in ac.find(sentence))
         # brute force: every alias occurrence as a contiguous token run
         want = sorted(
@@ -369,5 +369,44 @@ def test_scan_skip_set_fast_path_is_exact():
         # the fast-path implication: disjoint ⟹ no hits
         if ac.start_tokens.isdisjoint(sentence):
             assert not hits
+        # the occurrence-anchored scan path is hit-identical to find()
+        from fact_extraction_spark.operators.mentions import _scan_tokens
+        got2, _ = _scan_tokens(list(sentence), ac, ac.start_tokens, None)
+        assert sorted((s, e) for s, e, _a, _n in got2) == want
+
+    check()
+
+
+def test_skip_probe_never_false_negative():
+    """The raw-sentence probe regex (build_skip_probe + _probe_text) is a
+    conservative SUPERSET test: probe miss ⟹ the tokenization of the
+    NORMALIZED sentence contains no skip token. Property-checked over
+    adversarial raw sentences — non-ASCII chars and [n] footnotes whose
+    deletion merges fragments into new tokens, 1-char words, punctuation —
+    against the exact tokenize(normalize_sentence(raw)) membership."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fact_extraction_spark.operators.mentions import (
+        _probe_text, build_skip_probe)
+    from fact_extraction_spark.textops.tokenizer import tokenize
+    from fact_extraction_spark.textops.wikitext import normalize_sentence
+
+    piece = st.sampled_from(
+        ["Par", "is", "Lyon", "a", "I", "x", "don't", ".", ",", "[1]",
+         "[12]", "é", "ü", " ", "  ", "qu", "el", "Quel"])
+    raw_st = st.lists(piece, min_size=0, max_size=12).map("".join)
+    tok_st = st.sampled_from(
+        ["Paris", "Lyon", "Quel", "don't", "is", ".", ",", "x", "quel"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sets(tok_st, min_size=1, max_size=5), raw_st)
+    def check(skip_toks, raw):
+        skip = frozenset(skip_toks)
+        probe = build_skip_probe(skip)
+        assert probe is not None
+        toks = tokenize(normalize_sentence(raw))
+        if probe.search(_probe_text(raw)) is None:
+            assert skip.isdisjoint(toks), (skip, raw, toks)
 
     check()

@@ -174,3 +174,28 @@ def test_paragraph_regex_matches_dot_or_newline_spelling(text):
     new = re.compile(r"((.[\s\S]+?)\n\n)")
     old = re.compile(r"((.(.|\n)+?)\n\n)")
     assert new.sub(r"<p>\2</p>", text) == old.sub(r"<p>\2</p>", text)
+
+
+def test_tokens_of_normalized_is_exact():
+    """tokens_of_normalized(raw) ≡ tokenize(normalize_sentence(raw)) —
+    the dictionary scan's fused hot path — over adversarial raw sentences:
+    non-ASCII and footnote deletions that merge fragments into new tokens,
+    1-char words (kept a/A/I vs dropped), punctuation, whitespace runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fact_extraction_spark.textops.tokenizer import tokenize
+    from fact_extraction_spark.textops.wikitext import (
+        normalize_sentence, tokens_of_normalized)
+
+    piece = st.sampled_from(
+        ["Par", "is", "a", "A", "I", "i", "x", "don't", ".", ",", "[1]",
+         "[12]", "[é1]", "é", "ü", " ", "  ", "\n", "\t", "qu", "el"])
+    raw_st = st.lists(piece, min_size=0, max_size=14).map("".join)
+
+    @settings(max_examples=500, deadline=None)
+    @given(raw_st)
+    def check(raw):
+        assert tokens_of_normalized(raw) == tokenize(normalize_sentence(raw))
+
+    check()
