@@ -100,19 +100,27 @@ _FILLER_WORDS = (
 
 
 def _filler_paragraphs(rng: random.Random, first: str,
-                       target_bytes: int) -> list[list[str]]:
+                       target_bytes: int,
+                       inert: bool = False) -> list[list[str]]:
     """Deterministic unanchored filler totalling ~``target_bytes`` of raw
     wikitext, with cascade-exercising noise mixed in (templates, paired
     refs, comments — all of which stage 1 must strip). Models the real
     web-text shape where fact-bearing sentences are a tiny fraction of
-    page bytes."""
+    page bytes.
+
+    ``inert`` swaps the page subject's first name for a lowercase common
+    phrase, so the filler contains NO dictionary token at all — the
+    nav-menu/boilerplate web shape, where the scan's raw-sentence probe
+    can skip tokenization outright (the default entity-dense shape names
+    the subject in every filler sentence, modelling body prose)."""
+    subj = "The villagers" if inert else first
     paras: list[list[str]] = []
     size = 0
     i = 0
     while size < target_bytes:
         words = [rng.choice(_FILLER_WORDS) for _ in range(rng.randint(28, 44))]
         cut = len(words) // 2
-        sent = (f"{first} noted the {' '.join(words[:cut])} that year. "
+        sent = (f"{subj} noted the {' '.join(words[:cut])} that year. "
                 f"The {' '.join(words[cut:])} remained in the record.")
         if i % 5 == 2:
             sent += " {{cite journal | title = %s }}" % " ".join(words[:4])
@@ -127,7 +135,8 @@ def _filler_paragraphs(rng: random.Random, first: str,
 
 
 def _person_wikitext(rng: random.Random, first: str, sentences: list[str],
-                     giant: bool = False, fat_kb: int = 0) -> str:
+                     giant: bool = False, fat_kb: int = 0,
+                     fat_inert: bool = False) -> str:
     """Assemble a page's raw wikitext: infobox + noise + sentence paragraphs.
 
     ``fat_kb`` > 0 pads the page with ~that many KiB of deterministic
@@ -153,7 +162,8 @@ def _person_wikitext(rng: random.Random, first: str, sentences: list[str],
                   for i in range(520)]
         paras.extend([[f] for f in filler])
     if fat_kb > 0:
-        paras.extend(_filler_paragraphs(rng, first, fat_kb * 1024))
+        paras.extend(_filler_paragraphs(rng, first, fat_kb * 1024,
+                                        inert=fat_inert))
     body = []
     for p in paras:
         body.append(" ".join(p))
@@ -320,7 +330,8 @@ def _derive_pools(seed: int, n_persons: int):
 
 
 def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
-                          partitions: int = 64, fat_kb: int = 0) -> None:
+                          partitions: int = 64, fat_kb: int = 0,
+                          fat_inert: bool = False) -> None:
     """Distributed deterministic corpus generator for benchmarking.
 
     ``generate_corpus`` is a driver-side loop (fine for test-sized fixtures,
@@ -338,6 +349,9 @@ def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
     fact/sentence draws, so the fact tables and the extracted triple set
     are identical between a fat and a thin corpus at the same
     (seed, n_persons): only the text-stage byte volume changes.
+    ``fat_inert`` makes the filler dictionary-token-free (boilerplate
+    shape) instead of subject-naming (body-prose shape) — same identity
+    guarantee.
     """
     import pandas as pd
 
@@ -392,7 +406,7 @@ def generate_bench_corpus(spark, seed: int, n_persons: int, out_dir: str,
                 if rng.random() < 0.3:
                     ptypes.append((person, "Agent"))
                 raw = _person_wikitext(rng, first, sentences, giant=is_giant,
-                                       fat_kb=fat_kb)
+                                       fat_kb=fat_kb, fat_inert=fat_inert)
                 rows.append({
                     "url": "https://en.wikipedia.org/wiki/" + person,
                     "warc_ts": _dt.datetime.fromtimestamp(

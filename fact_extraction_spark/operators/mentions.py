@@ -54,11 +54,43 @@ TOKENS_AND_MENTIONS_SCHEMA = StructType([
 # per-executor automaton cache: {id(broadcast-value): TokenAhoCorasick}
 _AC_CACHE: dict[int, TokenAhoCorasick] = {}
 
-# per-executor scan-skip-set cache: {(id(ac), id(first_tok_set)): frozenset}
-_SKIP_CACHE: dict[tuple[int, int], frozenset] = {}
+def _cached_by_identity(cache: dict, ac, aux, build):
+    """Per-executor cache for a value derived from (ac, aux), keyed on
+    id()s but PINNING both keyed objects in the entry and re-checking
+    identity on hit: a bare id() key can be recycled after GC (CPython
+    reuses addresses) and would silently serve a stale derived set for a
+    different dictionary — observed in practice when test suites build
+    fresh automatons back-to-back. One-entry cache per kind: a miss clears
+    only its own dict (kinds never thrash each other)."""
+    key = (id(ac), id(aux))
+    ent = cache.get(key)
+    if ent is not None and ent[0] is ac and ent[1] is aux:
+        return ent[2]
+    cache.clear()
+    val = build()
+    cache[key] = (ac, aux, val)
+    return val
+
+
+# per-executor derived-set caches (see _cached_by_identity)
+_SKIP_CACHE: dict = {}
 
 
 _RX_WORD_TOKEN = re.compile(r"\w+(?:'\w+)?\Z")
+
+# Witness selection for the sentence-level match gate: an alias's witness
+# is its first token that is NOT one of these high-frequency function
+# words (multi-language, lowercase-compared) — see
+# TokenAhoCorasick.witness_tokens. Frozen, tiny and public-knowledge; a
+# corpus-df-driven pick is the upgrade path when profiling stats exist.
+_WITNESS_STOP = frozenset(
+    "the a an of in on at and or for to by with from as is was were be "
+    "den der die das des dem ein eine und von mit "
+    "el la le les los las lo un une du de di il dans".split())
+
+
+def _is_witness_token(t: str) -> bool:
+    return len(t) > 1 and t.lower() not in _WITNESS_STOP
 
 
 def _trie_pattern(words: list[str]) -> str:
@@ -125,16 +157,40 @@ def build_skip_probe(skip: frozenset, max_tokens: int = 250_000):
     return re.compile("|".join(parts))
 
 
-_PROBE_CACHE: dict[tuple[int, int], object] = {}
+_GATE_CACHE: dict = {}
+
+
+def _scan_gate_set(ac: TokenAhoCorasick, wt: frozenset | None) -> frozenset:
+    """The sentence-level match gate: one witness token per automaton alias
+    (TokenAhoCorasick.witness_tokens) ∪ the tail aliases' witness set. A
+    sentence disjoint from this set provably produces no automaton hit and
+    no tail-join match — the condition the filler fast paths key on.
+    Strictly more selective than the start-token set for stop-word-headed
+    dictionaries ("The …" aliases no longer put "The" in the gate)."""
+    def build():
+        s = ac.witness_tokens(_is_witness_token)
+        return (s | wt) if wt is not None else s
+    return _cached_by_identity(_GATE_CACHE, ac, wt, build)
+
+
+_GATE_PROBE_CACHE: dict = {}
+_SKIP_PROBE_CACHE: dict = {}
+
+
+def _gate_probe(ac: TokenAhoCorasick, wt: frozenset | None):
+    """Per-executor cached build_skip_probe over _scan_gate_set(ac, wt)."""
+    return _cached_by_identity(
+        _GATE_PROBE_CACHE, ac, wt,
+        lambda: build_skip_probe(_scan_gate_set(ac, wt)))
 
 
 def _skip_probe(ac: TokenAhoCorasick, ft: frozenset | None):
-    """Per-executor cached build_skip_probe over _scan_skip_set(ac, ft)."""
-    key = (id(ac), id(ft))
-    if key not in _PROBE_CACHE:
-        _PROBE_CACHE.clear()
-        _PROBE_CACHE[key] = build_skip_probe(_scan_skip_set(ac, ft))
-    return _PROBE_CACHE[key]
+    """Per-executor cached build_skip_probe over _scan_skip_set(ac, ft) —
+    the pre-witness probe, still used in the corner where a tail exists
+    but its witness set exceeded the broadcast bound (gate off)."""
+    return _cached_by_identity(
+        _SKIP_PROBE_CACHE, ac, ft,
+        lambda: build_skip_probe(_scan_skip_set(ac, ft)))
 
 
 def _probe_text(raw: str) -> str:
@@ -150,7 +206,8 @@ def _probe_text(raw: str) -> str:
 
 
 def _scan_tokens(tokens: list[str], ac: TokenAhoCorasick,
-                 skip: frozenset, ft: frozenset | None):
+                 skip: frozenset, ft: frozenset | None,
+                 gate: frozenset | None = None):
     """(hits, cand) for one token list, touching Python per OCCURRENCE of a
     skip token instead of per token: one C-speed set intersection decides
     emptiness, C-speed list.index locates the few matching positions, and
@@ -158,7 +215,17 @@ def _scan_tokens(tokens: list[str], ac: TokenAhoCorasick,
     (find_at). Identical result sets to ac.find + the per-token candidate
     comprehension — the entity-dense web shape (most sentences contain
     SOME dictionary token but few positions) stops paying a Python loop
-    over every token."""
+    over every token.
+
+    ``gate`` (see _scan_gate_set) short-circuits first: a sentence with no
+    alias WITNESS token cannot produce a hit or a tail match, so neither
+    the occurrence scan nor any cand position is needed — this is what
+    keeps stop-word-headed dictionaries ("The …") from forcing the full
+    scan on every English sentence. Returning cand=[] under a failed gate
+    is exact for the tail JOIN (a gram at any position would still fail to
+    equal any tail key whose witness the sentence lacks)."""
+    if gate is not None and gate.isdisjoint(tokens):
+        return [], []
     inter = skip.intersection(tokens)
     if not inter:
         return [], []
@@ -194,13 +261,9 @@ def _scan_skip_set(ac: TokenAhoCorasick, ft: frozenset | None) -> frozenset:
     automaton walk and the per-token candidate scan outright — on
     web-shaped pages that is the filler-majority fast path, leaving
     tokenization as the only per-byte Python cost."""
-    key = (id(ac), id(ft))
-    s = _SKIP_CACHE.get(key)
-    if s is None:
-        s = ac.start_tokens if ft is None else (ac.start_tokens | ft)
-        _SKIP_CACHE.clear()
-        _SKIP_CACHE[key] = s
-    return s
+    return _cached_by_identity(
+        _SKIP_CACHE, ac, ft,
+        lambda: ac.start_tokens if ft is None else (ac.start_tokens | ft))
 
 
 def _display_text(title: str) -> str:
@@ -458,10 +521,11 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
             _AC_CACHE.clear()  # never hold more than one dictionary
             _AC_CACHE[key] = ac
         skip = _scan_skip_set(ac, None)
+        gate = _scan_gate_set(ac, None)
         toks_out, ments_out = [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            hits, _ = _scan_tokens(tokens, ac, skip, None)
+            hits, _ = _scan_tokens(tokens, ac, skip, None, gate)
             toks_out.append(tokens)
             ments_out.append(hits)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
@@ -733,6 +797,7 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
             _AC_CACHE[key] = ac
 
         skip = _scan_skip_set(ac, None)
+        gate = _scan_gate_set(ac, None)
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -741,7 +806,7 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
             out = []
             for sent_id, r in enumerate(extract_sentences(text)):
                 tokens = tokenize(r["sentence"] or "")
-                hits, _ = _scan_tokens(tokens, ac, skip, None)
+                hits, _ = _scan_tokens(tokens, ac, skip, None, gate)
                 if hits:
                     out.append((sent_id, r["rel_pos"], tokens, hits))
             return out
@@ -867,11 +932,37 @@ def collect_first_token_broadcast(tail: DataFrame,
     return spark.sparkContext.broadcast(frozenset(r["tok"] for r in rows))
 
 
+def collect_tail_witness_broadcast(tail: DataFrame,
+                                   max_rows: int = 2_000_000):
+    """Broadcast the tail aliases' WITNESS-token set (one selective token
+    per alias: first non-stopword, else first — the column-algebra twin of
+    TokenAhoCorasick.witness_tokens over the same _WITNESS_STOP list), or
+    None above ``max_rows``. Feeds the sentence-level match gate: at most
+    one token per distinct tail alias, typically far fewer after dedup, so
+    it broadcasts whenever the first-token set does."""
+    toks = F.split("key", " ")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(_WITNESS_STOP)])
+    wit = F.coalesce(
+        F.element_at(
+            F.filter(toks, lambda t: (F.length(t) > 1)
+                     & ~F.array_contains(stop_arr, F.lower(t))), 1),
+        F.element_at(toks, 1))
+    wits = tail.select(wit.alias("tok")).where(F.col("tok").isNotNull()) \
+        .distinct()
+    rows = wits.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    spark = tail.sparkSession
+    return spark.sparkContext.broadcast(frozenset(r["tok"] for r in rows))
+
+
 def fused_sentence_hits(pages: DataFrame, head_bc,
                         lang: str | None = "en",
                         include_unanchored: bool = False,
                         first_tok_bc=None,
-                        prune_empty: bool = False) -> DataFrame:
+                        prune_empty: bool = False,
+                        witness_bc=None,
+                        no_tail: bool = False) -> DataFrame:
     """pages(html) → one row per sentence: (url, sent_id, rel_pos, tokens,
     hits, cand) where ``hits`` are the hot-head automaton matches and
     ``cand`` the token positions where a tail alias could start (empty
@@ -899,9 +990,17 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
         ft = first_tok_bc.value if first_tok_bc is not None else None
+        wt = witness_bc.value if witness_bc is not None else None
         skip = _scan_skip_set(ac, ft)
+        # the witness gate is exact only when the tail is covered by a
+        # witness set (or absent); otherwise suppress it — cand positions
+        # must survive for the tail join
+        gate_on = no_tail or wt is not None
+        gate = _scan_gate_set(ac, wt) if gate_on else None
         # adaptive per-batch probe — see fused_sentence_hits_and_anchors
-        bstate = {"probe": (_skip_probe(ac, ft) if prune_empty else None),
+        bstate = {"probe": ((_gate_probe(ac, wt) if gate_on
+                             else _skip_probe(ac, ft))
+                            if prune_empty else None),
                   "n": 0, "m": 0}
 
         def _page(b) -> list:
@@ -921,10 +1020,10 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
                         # filler fast path: skip normalize+tokenize
                         bstate["m"] += 1
                         continue
-                    if bstate["n"] >= 1024 and bstate["m"] * 8 < bstate["n"]:
+                    if bstate["n"] >= 1024 and bstate["m"] * 4 < bstate["n"]:
                         bstate["probe"] = None
                 tokens = tokens_of_normalized(raw)
-                hits, cand = _scan_tokens(tokens, ac, skip, ft)
+                hits, cand = _scan_tokens(tokens, ac, skip, ft, gate)
                 if prune_empty and not hits and not cand:
                     continue
                 out.append((sent_id, r["rel_pos"], tokens, hits, cand))
@@ -950,7 +1049,8 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
 
 
 def sentence_head_hits(sentences: DataFrame, head_bc,
-                       first_tok_bc=None) -> DataFrame:
+                       first_tok_bc=None, witness_bc=None,
+                       no_tail: bool = False) -> DataFrame:
     """Sentence-level analogue of ``fused_sentence_hits`` for callers that
     already hold sentence rows (url, sent_id, rel_pos, sentence): emits one
     row per sentence with tokens + hot-head automaton hits (possibly
@@ -976,11 +1076,14 @@ def sentence_head_hits(sentences: DataFrame, head_bc,
             _AC_CACHE.clear()
             _AC_CACHE[key] = ac
         ft = first_tok_bc.value if first_tok_bc is not None else None
+        wt = witness_bc.value if witness_bc is not None else None
         skip = _scan_skip_set(ac, ft)
+        gate = (_scan_gate_set(ac, wt) if (no_tail or wt is not None)
+                else None)
         toks_out, hits_out, cand_out = [], [], []
         for sent in sentence:
             tokens = tokenize(sent or "")
-            hits, cand = _scan_tokens(tokens, ac, skip, ft)
+            hits, cand = _scan_tokens(tokens, ac, skip, ft, gate)
             hits_out.append(hits)
             cand_out.append(cand)
             toks_out.append(tokens)
@@ -1006,7 +1109,9 @@ def detect_dictionary_mentions_mapside_sentences(
     tail's first-token set fits ``max_first_tokens`` (see
     collect_first_token_broadcast), so only they explode downstream."""
     ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
-    sent = sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc)
+    wit_bc = collect_tail_witness_broadcast(tail, max_first_tokens)
+    sent = sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc,
+                              witness_bc=wit_bc)
     return _mapside_union(sent, tail, max_tail_tokens,
                           use_cand=ft_bc is not None)
 
@@ -1031,7 +1136,9 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                                     lang: str | None = "en",
                                     include_unanchored: bool = False,
                                     first_tok_bc=None,
-                                    prune_empty: bool = False) -> DataFrame:
+                                    prune_empty: bool = False,
+                                    witness_bc=None,
+                                    no_tail: bool = False) -> DataFrame:
     """ONE corpus pass emitting BOTH dictionary-automaton hits and
     redirect-resolved anchor mentions per sentence.
 
@@ -1068,14 +1175,22 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
             _AC_CACHE[key] = ac
         rmap = redirect_map_bc.value
         ft = first_tok_bc.value if first_tok_bc is not None else None
+        wt = witness_bc.value if witness_bc is not None else None
         skip = _scan_skip_set(ac, ft)
+        # witness gate: exact only when the tail is covered by a witness
+        # set (or absent) — see _scan_gate_set / _scan_tokens
+        gate_on = no_tail or wt is not None
+        gate = _scan_gate_set(ac, wt) if gate_on else None
         # adaptive per-batch probe: the raw-sentence regex skips
         # normalize+tokenize for inert filler, but on entity-dense text
         # (most sentences naming SOME dictionary token) it is pure
         # overhead — stop probing for the rest of the batch once a 1024-
-        # sentence sample shows the skip rate under the ~1/8 breakeven.
+        # sentence sample shows the skip rate under the ~1/4 breakeven
+        # (measured: probe 25 MB/s vs tokenize 7 MB/s per core).
         # Purely a performance device: output is invariant either way.
-        bstate = {"probe": (_skip_probe(ac, ft) if prune_empty else None),
+        bstate = {"probe": ((_gate_probe(ac, wt) if gate_on
+                             else _skip_probe(ac, ft))
+                            if prune_empty else None),
                   "n": 0, "m": 0}
 
         def _page(b) -> list:
@@ -1099,10 +1214,10 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
                         # unpruned)
                         bstate["m"] += 1
                         continue
-                    if bstate["n"] >= 1024 and bstate["m"] * 8 < bstate["n"]:
+                    if bstate["n"] >= 1024 and bstate["m"] * 4 < bstate["n"]:
                         bstate["probe"] = None
                 tokens = tokens_of_normalized(raw)
-                hits, cand = _scan_tokens(tokens, ac, skip, ft)
+                hits, cand = _scan_tokens(tokens, ac, skip, ft, gate)
                 aspans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
                 if prune_empty and not hits and not aspans and not cand:
                     continue
@@ -1179,9 +1294,10 @@ def detect_dictionary_mentions_mapside(
     from fact_extraction_spark.caches import track
 
     ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
+    wit_bc = collect_tail_witness_broadcast(tail, max_first_tokens)
     sent = track(fused_sentence_hits(
         pages, head_bc, lang=lang, first_tok_bc=ft_bc,
-        prune_empty=ft_bc is not None).persist())
+        prune_empty=ft_bc is not None, witness_bc=wit_bc).persist())
     return _mapside_union(sent, tail, max_tail_tokens,
                           use_cand=ft_bc is not None)
 

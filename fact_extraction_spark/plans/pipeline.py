@@ -40,6 +40,7 @@ from fact_extraction_spark.operators.mentions import (
     anchor_windows_relational,
     build_alias_candidates, collect_alias_broadcast,
     collect_first_token_broadcast, collect_redirect_map,
+    collect_tail_witness_broadcast,
     fused_anchor_mentions, fused_anchor_windows,
     fused_sentence_hits_and_anchors, hot_hits, split_alias_dictionary,
 )
@@ -265,14 +266,17 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
             "consider raising max_tail_tokens", n_head,
             cfg.dictionary_hot_k, cfg.max_tail_tokens)
     tail_keyed = track(tail.select("alias", "entity", "key").persist())
-    # first-token set for in-scan candidate marking + sentence pruning
-    # (None when pruning is off or the set exceeds the broadcast bound —
-    # the tail join then falls back to posexplode + semi-join)
-    ft_bc = (collect_first_token_broadcast(
-        tail_keyed, cfg.dictionary_first_token_broadcast_rows)
-        if cfg.dictionary_prune_sentences else None)
+    # first-token set (in-scan candidate marking) + witness set (sentence-
+    # level match gate, one selective token per tail alias) — both None
+    # when pruning is off or the set exceeds the broadcast bound; the tail
+    # join then falls back to posexplode + semi-join / ungated scanning
+    ft_bc = wit_bc = None
+    if cfg.dictionary_prune_sentences:
+        bound = cfg.dictionary_first_token_broadcast_rows
+        ft_bc = collect_first_token_broadcast(tail_keyed, bound)
+        wit_bc = collect_tail_witness_broadcast(tail_keyed, bound)
     return {"mode": "mapside", "head_bc": head_bc, "ambiguous": ambiguous,
-            "tail": tail_keyed, "first_tok_bc": ft_bc}
+            "tail": tail_keyed, "first_tok_bc": ft_bc, "witness_bc": wit_bc}
 
 
 def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
@@ -304,13 +308,16 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
         # covered: broadcast mode has no tail (the head IS the full
         # dictionary), mapside mode needs the first-token set broadcast
         ft_bc = dict_ctx.get("first_tok_bc")
+        wit_bc = dict_ctx.get("witness_bc")
+        no_tail = dict_ctx["mode"] == "broadcast"
         prune = bool(cfg.dictionary_prune_sentences if cfg else True) and (
-            dict_ctx["mode"] == "broadcast" or ft_bc is not None)
+            no_tail or ft_bc is not None)
         sent = track(fused_sentence_hits_and_anchors(
             pages, head_bc, redirect_map_bc, lang=lang,
             include_unanchored=(cfg.dictionary_scan_unanchored if cfg
                                 else False),
-            first_tok_bc=ft_bc, prune_empty=prune).persist())
+            first_tok_bc=ft_bc, prune_empty=prune,
+            witness_bc=wit_bc, no_tail=no_tail).persist())
         if dict_ctx["mode"] == "broadcast":
             candidates = hot_hits(sent)
         else:

@@ -88,6 +88,31 @@ class TokenAhoCorasick:
             for length, payload in self._out[state]:
                 yield (i - length + 1, i, payload)
 
+    def witness_tokens(self, pick) -> frozenset:
+        """One WITNESS token per alias: the first token on the alias's
+        goto-path satisfying ``pick`` (a selectivity predicate — e.g. "not
+        a stopword"), falling back to the alias's first token when none
+        does. A sentence containing a full alias occurrence contains every
+        alias token, witness included — so the witness-set is a sentence-
+        level NECESSARY condition for any match, and unlike
+        ``start_tokens`` it survives stop-word-headed aliases ("The Grand
+        City" contributes "Grand", not "The", so "The" in every English
+        sentence no longer defeats the filler fast path). Classic prefix-
+        filtering / rare-token pigeonholing from set-similarity joins."""
+        assert self._built, "witness_tokens() before build()"
+        out: set = set()
+        stack = [(child, tok, tok if pick(tok) else None)
+                 for tok, child in self._next[0].items()]
+        while stack:
+            state, first, wit = stack.pop()
+            if self._out_raw[state]:
+                out.add(wit if wit is not None else first)
+            for tok, child in self._next[state].items():
+                stack.append(
+                    (child, first,
+                     wit if wit is not None else (tok if pick(tok) else None)))
+        return frozenset(out)
+
     def find_at(self, tokens: list[str], starts) -> list[tuple]:
         """All matches STARTING at the given positions, as sorted
         (start, end_inclusive, payload) tuples.

@@ -46,14 +46,16 @@ sys.path.insert(0, REPO)
 SEED = 42
 
 
-def _ensure(spark, n_persons: int, fat_kb: int, partitions: int) -> str:
+def _ensure(spark, n_persons: int, fat_kb: int, partitions: int,
+            inert: bool = False) -> str:
     from fact_extraction_spark.fixtures import generate_bench_corpus
     out = (f"/tmp/fx_fat_corpus_seed{SEED}_n{n_persons}"
-           f"_p{partitions}_k{fat_kb}")
+           f"_p{partitions}_k{fat_kb}" + ("_inert" if inert else ""))
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         generate_bench_corpus(spark, SEED, n_persons, out,
-                              partitions=partitions, fat_kb=fat_kb)
+                              partitions=partitions, fat_kb=fat_kb,
+                              fat_inert=inert)
         open(marker, "w").close()
     return out
 
@@ -69,6 +71,10 @@ def main() -> None:
     n_persons = int(os.environ.get("FAT_PERSONS", "120000"))
     fat_kb = int(os.environ.get("FAT_KB", "16"))
     partitions = int(os.environ.get("FAT_PARTITIONS", "64"))
+    # FAT_INERT=1: dictionary-token-free filler (nav/boilerplate shape,
+    # the scan probe's best case) instead of the default subject-naming
+    # body-prose shape (the probe's worst case, where it self-disables)
+    inert = os.environ.get("FAT_INERT", "0") == "1"
     leg = os.environ.get("FAT_LEG", "extract")
     assert leg in ("extract", "dict_unanchored"), leg
 
@@ -102,7 +108,8 @@ def main() -> None:
 
     variants: dict[str, dict] = {}
     for name, kb in (("thin", 0), ("fat", fat_kb)):
-        corpus = _ensure(spark, n_persons, kb, partitions)
+        corpus = _ensure(spark, n_persons, kb, partitions,
+                         inert=inert and kb > 0)
         t = {n: spark.read.parquet(f"{corpus}/{n}.parquet")
              for n in ("pages", "facts", "types", "redirects",
                        "ground_truth")}
@@ -152,7 +159,7 @@ def main() -> None:
                 "pages_per_s": round(v["pages"] / med, 1)}
 
     out = {
-        "leg": leg,
+        "leg": leg, "inert": inert,
         "persons": n_persons, "fat_kb": fat_kb, "cpus": cpus, "pairs": pairs,
         "triples": variants["thin"]["counts"].pop(),
         "thin": _stats(variants["thin"]), "fat": _stats(variants["fat"]),
@@ -165,7 +172,8 @@ def main() -> None:
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\nFat-page bench, leg={leg} ({out['timestamp']}): "
+            f"\nFat-page bench, leg={leg}"
+            f"{' INERT filler' if inert else ''} ({out['timestamp']}): "
             f"{n_persons} persons, "
             f"fat_kb={fat_kb}, local[{cpus}], {pairs} alternating pairs, "
             f"identical triple set ({out['triples']}).\n\n"

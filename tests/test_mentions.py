@@ -410,3 +410,46 @@ def test_skip_probe_never_false_negative():
             assert skip.isdisjoint(toks), (skip, raw, toks)
 
     check()
+
+
+def test_witness_gate_never_false_negative():
+    """The witness gate (TokenAhoCorasick.witness_tokens ∪ tail witnesses)
+    is a NECESSARY condition for any match: gate-disjoint sentences have
+    no automaton hit AND no tail n-gram match. Property-checked with
+    stop-word-headed aliases ("the X" — the case that defeats the
+    start-token condition) against brute-force occurrence search."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fact_extraction_spark.operators.mentions import (
+        _is_witness_token, _scan_gate_set, _scan_skip_set, _scan_tokens)
+
+    toks = st.sampled_from(["the", "of", "a", "Alpha", "Beta", "Gamma", "x"])
+    alias_st = st.lists(toks, min_size=1, max_size=3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alias_st, min_size=1, max_size=6),
+           st.lists(toks, min_size=0, max_size=10))
+    def check(aliases, sentence):
+        aliases = [list(a) for a in {tuple(a) for a in aliases}]
+        ac = TokenAhoCorasick.from_entries(
+            (a, (" ".join(a), "E")) for a in aliases)
+        gate = _scan_gate_set(ac, None)
+        want = sorted(
+            (i, i + len(a) - 1)
+            for a in {tuple(a) for a in aliases}
+            for i in range(len(sentence) - len(a) + 1)
+            if tuple(sentence[i:i + len(a)]) == tuple(a))
+        # necessary condition: any match implies a witness in the sentence
+        if gate.isdisjoint(sentence):
+            assert not want
+        # and the gated scan still finds every match
+        got, _ = _scan_tokens(list(sentence), ac,
+                              _scan_skip_set(ac, None), None, gate)
+        assert sorted((s, e) for s, e, _a, _n in got) == want
+        # witness construction: every alias contributes exactly one token
+        wits = ac.witness_tokens(_is_witness_token)
+        for a in aliases:
+            assert any(t in wits for t in a), (a, wits)
+
+    check()
