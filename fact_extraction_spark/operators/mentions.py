@@ -51,8 +51,13 @@ TOKENS_AND_MENTIONS_SCHEMA = StructType([
     StructField("mentions", MENTION_SCHEMA),
 ])
 
-# per-executor automaton cache: {id(broadcast-value): TokenAhoCorasick}
-_AC_CACHE: dict[int, TokenAhoCorasick] = {}
+# per-executor automaton cache (see _cached_by_identity / _automaton_for)
+_AC_CACHE: dict = {}
+
+_IDENTITY_CACHE_ENTRIES = 4  # per kind; bounds executor memory, stops the
+                             # rebuild thrash when two automatons alternate
+                             # within one executor (ADVICE r6)
+
 
 def _cached_by_identity(cache: dict, ac, aux, build):
     """Per-executor cache for a value derived from (ac, aux), keyed on
@@ -60,16 +65,59 @@ def _cached_by_identity(cache: dict, ac, aux, build):
     identity on hit: a bare id() key can be recycled after GC (CPython
     reuses addresses) and would silently serve a stale derived set for a
     different dictionary — observed in practice when test suites build
-    fresh automatons back-to-back. One-entry cache per kind: a miss clears
-    only its own dict (kinds never thrash each other)."""
+    fresh automatons back-to-back. Holds a few entries per kind (cleared
+    wholesale when full) so two dictionaries alternating within one
+    executor — e.g. broadcast + mapside paths in one session — don't
+    rebuild the full witness-DFS / 250k-word trie regex per batch."""
     key = (id(ac), id(aux))
     ent = cache.get(key)
     if ent is not None and ent[0] is ac and ent[1] is aux:
         return ent[2]
-    cache.clear()
+    if len(cache) >= _IDENTITY_CACHE_ENTRIES:
+        cache.clear()
     val = build()
     cache[key] = (ac, aux, val)
     return val
+
+
+def _automaton_for(alias_bc) -> TokenAhoCorasick:
+    """Per-executor Aho-Corasick automaton for a broadcast (alias, entity)
+    list. Identity-PINNED cache (ADVICE r6): the entry holds the broadcast
+    payload itself and re-checks ``is`` on hit, so a recycled id() in a
+    long-lived executor can never serve a stale automaton for a different
+    dictionary."""
+    pairs = alias_bc.value
+    return _cached_by_identity(
+        _AC_CACHE, pairs, None,
+        lambda: TokenAhoCorasick.from_entries(
+            (tokenize(alias), (alias, entity)) for alias, entity in pairs))
+
+
+def _make_paragraph_skip(bstate: dict):
+    """Paragraph-level filler fast path (the round-6 documented lever): one
+    C-speed probe scan over the tag-stripped paragraph text decides whether
+    ANY of its sentences could contain a gate token — a miss skips the
+    sentence split, the row dicts and every per-sentence probe for the
+    whole paragraph (ids stay exact via count_split_sentences, see
+    wikitext.iter_raw_sentences). Adaptive like the per-sentence probe: on
+    entity-dense text (most paragraphs name SOME dictionary token) the
+    paragraph pass is pure overhead, so it self-disables when a 256-
+    paragraph sample shows the miss rate under ~1/4; the per-sentence probe
+    stays independently adaptive. Output-invariant by construction
+    (conservative superset test — the paragraph text is a superstring of
+    every sentence, and _probe_text deletions commute with the splits)."""
+    def skip_para(plain: str) -> bool:
+        pp = bstate["pprobe"]
+        if pp is None:
+            return False
+        bstate["pn"] += 1
+        if pp.search(_probe_text(plain)) is None:
+            bstate["pm"] += 1
+            return True
+        if bstate["pn"] >= 256 and bstate["pm"] * 4 < bstate["pn"]:
+            bstate["pprobe"] = None
+        return False
+    return skip_para
 
 
 # per-executor derived-set caches (see _cached_by_identity)
@@ -278,13 +326,30 @@ def _capitalize(name: str) -> str:
 # alias dictionary construction (DataFrame-side, fully relational)
 # --------------------------------------------------------------------------
 
+_RESOLVED_REDIRECTS_CACHE: dict = {}
+
+
 def resolve_redirects(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
     """Collapse multi-hop redirect chains: (alias, final_target).
 
     Iterative self-join until fixpoint (alias chains are short; the loop is
     over a SMALL dimension table, never the corpus). Generalizes the
     reference's single-hop dict substitution (redirects_substitutor.py:52-64).
+
+    The fixpoint loop is DRIVER-SERIAL (an eager localCheckpoint + one agg
+    per hop), so repeated calls over the SAME redirects table — learn's
+    redirect map plus every dictionary-context build in the session — are
+    memoized per (table identity, max_hops), objects pinned
+    (_cached_by_identity): the checkpointed result is lineage-free and
+    reusable, and a different redirects DataFrame can never hit the entry.
     """
+    return _cached_by_identity(
+        _RESOLVED_REDIRECTS_CACHE, redirects, max_hops,
+        lambda: _resolve_redirects_fixpoint(redirects, max_hops))
+
+
+def _resolve_redirects_fixpoint(redirects: DataFrame,
+                                max_hops: int) -> DataFrame:
     resolved = redirects.select("alias", "target")
     for _ in range(max_hops):
         stepped = (
@@ -367,15 +432,13 @@ def _anchor_pairs(anchors):
     return out
 
 
-def _find_anchor_spans(tokens: list[str], anchors, redirect_map) -> list[tuple]:
-    """Token spans of each anchor text; entity = redirect-resolved target.
-
-    Equivalent to running TokenMatcher per link (tagged_sentence.py:78-83)
-    but via one tiny per-sentence automaton over this sentence's anchors.
-    """
+def _build_anchor_ac(anchors, redirect_map) -> TokenAhoCorasick:
+    """Tiny automaton over one sentence's/paragraph's anchors; entity =
+    redirect-resolved target (tagged_sentence.py:78-83 TokenMatcher
+    semantics + the capitalize hotfix)."""
     ac = TokenAhoCorasick()
     seen = set()
-    for href, anchor_text in anchors:
+    for href, anchor_text in _anchor_pairs(anchors):
         a_tokens = tuple(tokenize(anchor_text))
         if not a_tokens or a_tokens in seen:
             continue
@@ -384,7 +447,41 @@ def _find_anchor_spans(tokens: list[str], anchors, redirect_map) -> list[tuple]:
         entity = redirect_map.get(name, name)
         ac.add(list(a_tokens), entity)
     ac.build()
-    return [(s, e, ent) for s, e, ent in ac.find(tokens)]
+    return ac
+
+
+def _find_anchor_spans(tokens: list[str], anchors, redirect_map) -> list[tuple]:
+    """Token spans of each anchor text; entity = redirect-resolved target.
+
+    Equivalent to running TokenMatcher per link (tagged_sentence.py:78-83)
+    but via one tiny per-sentence automaton over this sentence's anchors.
+    """
+    return [(s, e, ent)
+            for s, e, ent in _build_anchor_ac(anchors, redirect_map).find(tokens)]
+
+
+def _paragraph_anchor_spans():
+    """Anchor-span finder with the per-PARAGRAPH mini automaton cached by
+    IDENTITY of the anchors list (extract_sentences / iter_raw_sentences
+    share one list object across a paragraph's sentences): a paragraph with
+    k sentences builds its automaton once instead of k times, and the
+    start_tokens disjoint check (the same invariant the dictionary fast
+    path rests on, property-pinned) skips the find() walk on sentences
+    containing none of the paragraph's anchor texts. One closure per UDF
+    call — the identity key can never outlive the page batch."""
+    state: list = [None, None]
+
+    def find(tokens, anchors, redirect_map):
+        if not anchors:
+            return []
+        if anchors is not state[0]:
+            state[0] = anchors
+            state[1] = _build_anchor_ac(anchors, redirect_map)
+        ac = state[1]
+        if ac.start_tokens.isdisjoint(tokens):
+            return []
+        return [(s, e, ent) for s, e, ent in ac.find(tokens)]
+    return find
 
 
 def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc,
@@ -401,7 +498,7 @@ def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc,
         toks_out, ments_out = [], []
         for sent, anch in zip(sentence, anchors):
             tokens = tokenize(sent or "")
-            spans = _find_anchor_spans(tokens, _anchor_pairs(anch), rmap)
+            spans = _find_anchor_spans(tokens, anch, rmap)
             toks_out.append(tokens)
             ments_out.append(spans)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
@@ -452,6 +549,7 @@ def fused_anchor_mentions(pages: DataFrame, redirect_map_bc,
     @pandas_udf(FUSED_MENTIONS_SCHEMA)
     def _fused(html: pd.Series) -> pd.Series:
         rmap = redirect_map_bc.value
+        find_spans = _paragraph_anchor_spans()
 
         def _page(b) -> list:
             text = extract_article_text(
@@ -460,7 +558,7 @@ def fused_anchor_mentions(pages: DataFrame, redirect_map_bc,
             out = []
             for sent_id, r in enumerate(extract_sentences(text)):
                 tokens = tokenize(r["sentence"] or "")
-                spans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
+                spans = find_spans(tokens, r["anchors"], rmap)
                 if spans:
                     out.append((sent_id, r["rel_pos"], tokens, spans))
             return out
@@ -512,14 +610,7 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
         StructField("mentions", schema),
     ]))
     def _scan(sentence: pd.Series) -> pd.DataFrame:
-        key = id(alias_bc.value)
-        ac = _AC_CACHE.get(key)
-        if ac is None:
-            ac = TokenAhoCorasick.from_entries(
-                (tokenize(alias), (alias, entity))
-                for alias, entity in alias_bc.value)
-            _AC_CACHE.clear()  # never hold more than one dictionary
-            _AC_CACHE[key] = ac
+        ac = _automaton_for(alias_bc)
         skip = _scan_skip_set(ac, None)
         gate = _scan_gate_set(ac, None)
         toks_out, ments_out = [], []
@@ -592,6 +683,7 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
 
     def _batches(it):
         rmap = redirect_map_bc.value
+        find_spans = _paragraph_anchor_spans()
         for pdf in it:
             out = {k: [] for k in ("url", "sent_id", "rel_pos", "subject",
                                    "object", "n_slots", "slots")}
@@ -605,7 +697,7 @@ def fused_anchor_windows(pages: DataFrame, redirect_map_bc,
                     n_tok = len(tokens)
                     if n_tok > max_sentence_tokens:
                         continue
-                    spans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
+                    spans = find_spans(tokens, r["anchors"], rmap)
                     first = {}
                     for s, e, ent in sorted(spans):
                         if ent not in first:
@@ -663,6 +755,7 @@ def fused_anchor_spans(pages: DataFrame,
     offsets = [o for o in range(-window, window + 1) if o != 0]
 
     def _batches(it):
+        find_spans = _paragraph_anchor_spans()
         for pdf in it:
             out = {k: [] for k in ("url", "sent_id", "rel_pos", "subject",
                                    "raw_entity", "start", "end", "n_slots",
@@ -677,8 +770,8 @@ def fused_anchor_spans(pages: DataFrame,
                     n_tok = len(tokens)
                     if n_tok > max_sentence_tokens:
                         continue
-                    spans = _find_anchor_spans(tokens, list(r["anchors"]),
-                                               {})  # no resolution here
+                    spans = find_spans(tokens, r["anchors"],
+                                       {})  # no resolution here
                     first = {}
                     for s, e, ent in sorted(spans):
                         if ent not in first:
@@ -787,15 +880,7 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
 
     @pandas_udf(schema)
     def _fused(html: pd.Series) -> pd.Series:
-        key = id(alias_bc.value)
-        ac = _AC_CACHE.get(key)
-        if ac is None:
-            ac = TokenAhoCorasick.from_entries(
-                (tokenize(alias), (alias, entity))
-                for alias, entity in alias_bc.value)
-            _AC_CACHE.clear()
-            _AC_CACHE[key] = ac
-
+        ac = _automaton_for(alias_bc)
         skip = _scan_skip_set(ac, None)
         gate = _scan_gate_set(ac, None)
 
@@ -934,12 +1019,16 @@ def collect_first_token_broadcast(tail: DataFrame,
 
 def collect_tail_witness_broadcast(tail: DataFrame,
                                    max_rows: int = 2_000_000):
-    """Broadcast the tail aliases' WITNESS-token set (one selective token
-    per alias: first non-stopword, else first — the column-algebra twin of
-    TokenAhoCorasick.witness_tokens over the same _WITNESS_STOP list), or
-    None above ``max_rows``. Feeds the sentence-level match gate: at most
-    one token per distinct tail alias, typically far fewer after dedup, so
-    it broadcasts whenever the first-token set does."""
+    """Broadcast a WITNESS-token set for the tail aliases (one selective
+    token per alias: first non-stopword, else first — same _WITNESS_STOP
+    list as TokenAhoCorasick.witness_tokens), or None above ``max_rows``.
+    The load-bearing invariant is only that the picked token is a MEMBER
+    token of each tail key (any member is a valid witness); the SQL-side
+    F.lower/F.length and Python str.lower/len can diverge on non-ASCII
+    tokens, so the picked witness may differ from the Python-side pick —
+    harmless, per the invariant. Feeds the sentence-level match gate: at
+    most one token per distinct tail alias, typically far fewer after
+    dedup, so it broadcasts whenever the first-token set does."""
     toks = F.split("key", " ")
     stop_arr = F.array(*[F.lit(w) for w in sorted(_WITNESS_STOP)])
     wit = F.coalesce(
@@ -954,6 +1043,18 @@ def collect_tail_witness_broadcast(tail: DataFrame,
         return None
     spark = tail.sparkSession
     return spark.sparkContext.broadcast(frozenset(r["tok"] for r in rows))
+
+
+def collect_tail_broadcasts(tail: DataFrame, max_rows: int = 2_000_000):
+    """(first_token_bc, witness_bc) for the tail, with ONE cheap limit(1)
+    probe short-circuiting both driver collect jobs when the tail is empty
+    (every alias fit in the head — common in tests and bounded domains;
+    ADVICE r6): the empty tail's sets are empty frozensets by definition."""
+    if tail.select("key").limit(1).count() == 0:
+        empty = tail.sparkSession.sparkContext.broadcast(frozenset())
+        return empty, empty
+    return (collect_first_token_broadcast(tail, max_rows),
+            collect_tail_witness_broadcast(tail, max_rows))
 
 
 def fused_sentence_hits(pages: DataFrame, head_bc,
@@ -977,18 +1078,11 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
     the broadcast path, but the broadcast payload is the bounded head, not
     the full dictionary."""
     from fact_extraction_spark.textops.wikitext import (
-        extract_article_text, extract_sentences, tokens_of_normalized)
+        extract_article_text, iter_raw_sentences, tokens_of_normalized)
 
     @pandas_udf(SENTENCE_HITS_SCHEMA)
     def _fused(html: pd.Series) -> pd.Series:
-        key = id(head_bc.value)
-        ac = _AC_CACHE.get(key)
-        if ac is None:
-            ac = TokenAhoCorasick.from_entries(
-                (tokenize(alias), (alias, entity))
-                for alias, entity in head_bc.value)
-            _AC_CACHE.clear()
-            _AC_CACHE[key] = ac
+        ac = _automaton_for(head_bc)
         ft = first_tok_bc.value if first_tok_bc is not None else None
         wt = witness_bc.value if witness_bc is not None else None
         skip = _scan_skip_set(ac, ft)
@@ -997,24 +1091,22 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
         # must survive for the tail join
         gate_on = no_tail or wt is not None
         gate = _scan_gate_set(ac, wt) if gate_on else None
-        # adaptive per-batch probe — see fused_sentence_hits_and_anchors
-        bstate = {"probe": ((_gate_probe(ac, wt) if gate_on
-                             else _skip_probe(ac, ft))
-                            if prune_empty else None),
-                  "n": 0, "m": 0}
+        # adaptive per-batch probes — see fused_sentence_hits_and_anchors
+        p = ((_gate_probe(ac, wt) if gate_on else _skip_probe(ac, ft))
+             if prune_empty else None)
+        bstate = {"probe": p, "pprobe": p, "n": 0, "m": 0, "pn": 0, "pm": 0}
+        skip_para = _make_paragraph_skip(bstate)
 
         def _page(b) -> list:
             text = extract_article_text(
                 (bytes(b) if b is not None else b"").decode(
                     "utf-8", errors="replace"))
             out = []
-            for sent_id, r in enumerate(
-                    extract_sentences(text,
-                                      include_unanchored=include_unanchored,
-                                      normalize=False)):
-                raw = r["sentence"] or ""
+            for sent_id, rel_pos, raw, anchors in iter_raw_sentences(
+                    text, include_unanchored=include_unanchored,
+                    skip_paragraph=skip_para):
                 probe = bstate["probe"]
-                if probe is not None and not r["anchors"]:
+                if probe is not None and not anchors:
                     bstate["n"] += 1
                     if probe.search(_probe_text(raw)) is None:
                         # filler fast path: skip normalize+tokenize
@@ -1026,7 +1118,7 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
                 hits, cand = _scan_tokens(tokens, ac, skip, ft, gate)
                 if prune_empty and not hits and not cand:
                     continue
-                out.append((sent_id, r["rel_pos"], tokens, hits, cand))
+                out.append((sent_id, rel_pos, tokens, hits, cand))
             return out
 
         return html.map(_page)
@@ -1067,14 +1159,7 @@ def sentence_head_hits(sentences: DataFrame, head_bc,
         StructField("cand", ArrayType(IntegerType())),
     ]))
     def _scan(sentence: pd.Series) -> pd.DataFrame:
-        key = id(head_bc.value)
-        ac = _AC_CACHE.get(key)
-        if ac is None:
-            ac = TokenAhoCorasick.from_entries(
-                (tokenize(alias), (alias, entity))
-                for alias, entity in head_bc.value)
-            _AC_CACHE.clear()
-            _AC_CACHE[key] = ac
+        ac = _automaton_for(head_bc)
         ft = first_tok_bc.value if first_tok_bc is not None else None
         wt = witness_bc.value if witness_bc is not None else None
         skip = _scan_skip_set(ac, ft)
@@ -1108,8 +1193,7 @@ def detect_dictionary_mentions_mapside_sentences(
     Candidate tail positions are marked in the scan pass whenever the
     tail's first-token set fits ``max_first_tokens`` (see
     collect_first_token_broadcast), so only they explode downstream."""
-    ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
-    wit_bc = collect_tail_witness_broadcast(tail, max_first_tokens)
+    ft_bc, wit_bc = collect_tail_broadcasts(tail, max_first_tokens)
     sent = sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc,
                               witness_bc=wit_bc)
     return _mapside_union(sent, tail, max_tail_tokens,
@@ -1161,18 +1245,11 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
     the tail is covered: pass it only with ``first_tok_bc`` set or when no
     tail path will run (full-dictionary broadcast mode)."""
     from fact_extraction_spark.textops.wikitext import (
-        extract_article_text, extract_sentences, tokens_of_normalized)
+        extract_article_text, iter_raw_sentences, tokens_of_normalized)
 
     @pandas_udf(SENTENCE_HITS_ANCHORS_SCHEMA)
     def _fused(html: pd.Series) -> pd.Series:
-        key = id(head_bc.value)
-        ac = _AC_CACHE.get(key)
-        if ac is None:
-            ac = TokenAhoCorasick.from_entries(
-                (tokenize(alias), (alias, entity))
-                for alias, entity in head_bc.value)
-            _AC_CACHE.clear()
-            _AC_CACHE[key] = ac
+        ac = _automaton_for(head_bc)
         rmap = redirect_map_bc.value
         ft = first_tok_bc.value if first_tok_bc is not None else None
         wt = witness_bc.value if witness_bc is not None else None
@@ -1181,47 +1258,47 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
         # set (or absent) — see _scan_gate_set / _scan_tokens
         gate_on = no_tail or wt is not None
         gate = _scan_gate_set(ac, wt) if gate_on else None
-        # adaptive per-batch probe: the raw-sentence regex skips
-        # normalize+tokenize for inert filler, but on entity-dense text
-        # (most sentences naming SOME dictionary token) it is pure
-        # overhead — stop probing for the rest of the batch once a 1024-
-        # sentence sample shows the skip rate under the ~1/4 breakeven
-        # (measured: probe 25 MB/s vs tokenize 7 MB/s per core).
+        # adaptive per-batch probes: the raw-text regex skips
+        # normalize+tokenize for inert filler (and, at paragraph level, the
+        # whole sentence split — see _make_paragraph_skip), but on
+        # entity-dense text (most sentences naming SOME dictionary token)
+        # it is pure overhead — each level stops probing for the rest of
+        # the batch once its sample shows the skip rate under the ~1/4
+        # breakeven (measured: probe 25 MB/s vs tokenize 7 MB/s per core).
         # Purely a performance device: output is invariant either way.
-        bstate = {"probe": ((_gate_probe(ac, wt) if gate_on
-                             else _skip_probe(ac, ft))
-                            if prune_empty else None),
-                  "n": 0, "m": 0}
+        p = ((_gate_probe(ac, wt) if gate_on else _skip_probe(ac, ft))
+             if prune_empty else None)
+        bstate = {"probe": p, "pprobe": p, "n": 0, "m": 0, "pn": 0, "pm": 0}
+        skip_para = _make_paragraph_skip(bstate)
+        find_spans = _paragraph_anchor_spans()
 
         def _page(b) -> list:
             text = extract_article_text(
                 (bytes(b) if b is not None else b"").decode(
                     "utf-8", errors="replace"))
             out = []
-            for sent_id, r in enumerate(
-                    extract_sentences(text,
-                                      include_unanchored=include_unanchored,
-                                      normalize=False)):
-                raw = r["sentence"] or ""
+            for sent_id, rel_pos, raw, anchors in iter_raw_sentences(
+                    text, include_unanchored=include_unanchored,
+                    skip_paragraph=skip_para):
                 probe = bstate["probe"]
-                if probe is not None and not r["anchors"]:
+                if probe is not None and not anchors:
                     bstate["n"] += 1
                     if probe.search(_probe_text(raw)) is None:
                         # filler fast path: the regex scan of the RAW
                         # sentence proves no token can start a match and
                         # no anchor exists — skip normalize+tokenize
-                        # (sent_id still advances: the row list is
-                        # unpruned)
+                        # (sent_id still advances: iter_raw_sentences
+                        # assigns ids before this filter)
                         bstate["m"] += 1
                         continue
                     if bstate["n"] >= 1024 and bstate["m"] * 4 < bstate["n"]:
                         bstate["probe"] = None
                 tokens = tokens_of_normalized(raw)
                 hits, cand = _scan_tokens(tokens, ac, skip, ft, gate)
-                aspans = _find_anchor_spans(tokens, list(r["anchors"]), rmap)
+                aspans = find_spans(tokens, anchors, rmap)
                 if prune_empty and not hits and not aspans and not cand:
                     continue
-                out.append((sent_id, r["rel_pos"], tokens, hits, aspans,
+                out.append((sent_id, rel_pos, tokens, hits, aspans,
                             cand))
             return out
 
@@ -1293,8 +1370,7 @@ def detect_dictionary_mentions_mapside(
     """
     from fact_extraction_spark.caches import track
 
-    ft_bc = collect_first_token_broadcast(tail, max_first_tokens)
-    wit_bc = collect_tail_witness_broadcast(tail, max_first_tokens)
+    ft_bc, wit_bc = collect_tail_broadcasts(tail, max_first_tokens)
     sent = track(fused_sentence_hits(
         pages, head_bc, lang=lang, first_tok_bc=ft_bc,
         prune_empty=ft_bc is not None, witness_bc=wit_bc).persist())

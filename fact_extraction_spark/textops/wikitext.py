@@ -156,12 +156,20 @@ def extract_paragraphs(html_text: str) -> list[str]:
 
 
 def paragraph_anchors(paragraph: str) -> list[tuple[str, str]]:
-    """``(href, anchor_text)`` pairs in document order."""
+    """``(href, anchor_text)`` pairs in document order. The substring guard
+    is exact (the anchor regex requires a literal ``<a``) and turns the
+    anchor-free-filler majority case into one C memchr instead of a regex
+    scan."""
+    if "<a" not in paragraph:
+        return []
     return [(m.group(1), _RX_TAG.sub("", m.group(2))) for m in _RX_ANCHOR.finditer(paragraph)]
 
 
 def paragraph_text(paragraph: str) -> str:
-    """Tag-stripped text of one paragraph (bs4 ``get_text()`` analogue)."""
+    """Tag-stripped text of one paragraph (bs4 ``get_text()`` analogue).
+    Exact substring guard: no ``<`` ⟹ no tag to strip."""
+    if "<" not in paragraph:
+        return paragraph
     return _RX_TAG.sub("", paragraph)
 
 
@@ -221,6 +229,92 @@ def tokens_of_normalized(raw: str) -> list[str]:
             if len(w) > 1 or w.lower() == "a" or w == "I":
                 out.extend(findall(w))
     return out
+
+
+def count_split_sentences(plain: str) -> int:
+    """``len(split_paragraph_sentences(plain))`` without building the list.
+
+    The line split contributes ``plain.count("\\n") + 1`` segments and every
+    sentence-separator match adds one more. A separator match is exactly a
+    position ``p`` with ``s[p] in ".!?"`` and ``s[p+1] == " "`` (the char
+    before a space run's first space is non-space, so the run starts at
+    ``p+1`` and the lookbehind sees ``s[p]``), so the match count is the
+    sum of three C-memchr substring counts — no regex pass at all. Counting
+    over the WHOLE paragraph equals summing per line: a separator never
+    contains or crosses ``\\n``, and at a line start the preceding char is
+    ``\\n`` in the paragraph vs nothing in the line — neither satisfies the
+    lookbehind. Property-pinned by
+    test_count_split_sentences_matches_split. This is what lets the
+    dictionary scan skip a gate-missed paragraph while keeping the global
+    enumerate-derived sentence ids byte-identical (operators/mentions.py
+    paragraph fast path)."""
+    return (plain.count(". ") + plain.count("! ") + plain.count("? ")
+            + plain.count("\n") + 1)
+
+
+def iter_raw_sentences(html_text: str,
+                       include_unanchored: bool = False,
+                       skip_paragraph=None):
+    """Generator twin of ``enumerate(extract_sentences(html_text,
+    include_unanchored, normalize=False))``: yields
+    ``(sent_id, rel_pos, raw_sentence, anchors)`` with IDENTICAL sent_id
+    assignment (property-pinned by test_iter_raw_sentences_matches_extract).
+
+    ``skip_paragraph(plain) -> bool`` must be a CONSERVATIVE predicate over
+    paragraph text (the witness-gate probe: a miss proves no sentence can
+    produce a dictionary hit). It is consulted for ANCHOR-FREE paragraphs
+    only (in unanchored mode; anchored mode drops them before the call,
+    exactly like extract_sentences). Consecutive anchor-free paragraphs
+    are probed as ONE ``"\\n"``-joined block first — the separator is never
+    deleted by the probe-text transforms and the sentence splits commute
+    with it, so a block miss proves every member paragraph inert and one
+    C-speed scan skips the whole run (the boilerplate-run shape of real
+    web pages); a block hit falls back to per-paragraph probing. Skipped
+    sentences still consume ids via ``count_split_sentences`` (whose
+    block count equals the per-paragraph sum by the same separator
+    argument), so the ids of every yielded row match the no-skip
+    enumeration exactly."""
+    paragraphs = extract_paragraphs(html_text)
+    n = len(paragraphs)
+    sent_id = 0
+    i = 0
+    while i < n:
+        para = paragraphs[i]
+        anchors = paragraph_anchors(para)
+        if not anchors:
+            if not include_unanchored:
+                i += 1
+                continue
+            if skip_paragraph is not None:
+                # batch the run of consecutive anchor-free paragraphs
+                plains = [paragraph_text(para)]
+                j = i + 1
+                while j < n and not paragraph_anchors(paragraphs[j]):
+                    plains.append(paragraph_text(paragraphs[j]))
+                    j += 1
+                block = plains[0] if j == i + 1 else "\n".join(plains)
+                if skip_paragraph(block):
+                    sent_id += count_split_sentences(block)
+                    i = j
+                    continue
+                for k, plain in enumerate(plains):
+                    if len(plains) > 1 and skip_paragraph(plain):
+                        sent_id += count_split_sentences(plain)
+                        continue
+                    rel_pos = (i + k) / n
+                    for sent in split_paragraph_sentences(plain):
+                        yield sent_id, rel_pos, sent, anchors
+                        sent_id += 1
+                i = j
+                continue
+        plain = paragraph_text(para)
+        rel_pos = i / n
+        for sent in split_paragraph_sentences(plain):
+            if include_unanchored or any(text in sent for _, text in anchors):
+                yield sent_id, rel_pos, sent, anchors
+                sent_id += 1
+        i += 1
+
 
 
 def extract_sentences(html_text: str,

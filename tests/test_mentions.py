@@ -453,3 +453,118 @@ def test_witness_gate_never_false_negative():
             assert any(t in wits for t in a), (a, wits)
 
     check()
+
+
+def test_paragraph_probe_never_false_negative():
+    """Paragraph-level probe conservativeness (the round-7 fast path): a
+    probe miss on _probe_text(paragraph_plain) implies EVERY sentence the
+    paragraph splits into has a normalized tokenization disjoint from the
+    skip set — deletions (non-ASCII, [n] footnotes) commute with the
+    line/sentence splits and separator chars are never deleted, so each
+    sentence's probe-text is a substring of the paragraph's. Checked
+    against the exact per-sentence membership over adversarial paragraphs
+    (deletion fragments at sentence boundaries, multi-line, 1-char
+    words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fact_extraction_spark.operators.mentions import (
+        _probe_text, build_skip_probe)
+    from fact_extraction_spark.textops.tokenizer import tokenize
+    from fact_extraction_spark.textops.wikitext import (
+        normalize_sentence, split_paragraph_sentences)
+
+    piece = st.sampled_from(
+        ["Par", "is", "Lyon", "a", "I", "x", "don't", ".", "!", "?", ",",
+         "[1]", "[12]", "é", "ü", " ", "  ", "\n", "qu", "el", "Quel",
+         ". ", "! ", "? "])
+    para_st = st.lists(piece, min_size=0, max_size=16).map("".join)
+    tok_st = st.sampled_from(
+        ["Paris", "Lyon", "Quel", "don't", "is", ".", ",", "x", "quel"])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.sets(tok_st, min_size=1, max_size=5), para_st)
+    def check(skip_toks, plain):
+        skip = frozenset(skip_toks)
+        probe = build_skip_probe(skip)
+        assert probe is not None
+        if probe.search(_probe_text(plain)) is None:
+            for sent in split_paragraph_sentences(plain):
+                toks = tokenize(normalize_sentence(sent))
+                assert skip.isdisjoint(toks), (skip, plain, sent, toks)
+
+    check()
+
+
+def _para_fastpath_pages(spark):
+    """Handcrafted corpus exercising every paragraph-fast-path branch:
+    inert multi-sentence paragraphs (probe skips whole paragraph), a
+    paragraph whose LAST sentence holds the only dictionary hit (probe
+    must not skip), a stop-word-headed alias, anchored paragraphs, and
+    deletion fragments (non-ASCII / footnotes) at boundaries — with
+    hit-bearing sentences AFTER skipped paragraphs so a sent_id drift
+    would shift their ids and fail the row comparison."""
+    wikitext = (
+        "Inert filler one. Nothing here! More filler?\n"
+        "Second line of filler.\n\n"
+        "Another inert block. Entirely boring words.\n\n"
+        "Boring start here. Then Alpha City appears at the end.\n\n"
+        "The grand finale sentence mentions The Grand City today.\n\n"
+        "Linked [[Alpha City]] paragraph sentence. No link sentence here.\n\n"
+        "Fragmenté filler[1] block. Café words only.\n\n"
+        "Alpha City leads this one. Trailing filler sentence.\n\n")
+    rows = [("https://en.wikipedia.org/wiki/Page_%d" % i, "2023-01-01",
+             wikitext.encode("utf-8"), "en") for i in range(3)]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, lang string")
+
+
+def test_paragraph_fastpath_rows_identical(spark):
+    """fused_sentence_hits / fused_sentence_hits_and_anchors with pruning
+    (probes + paragraph skip active) emit exactly the pruned projection of
+    the prune=False rows — same sent_ids, rel_pos, tokens, hits, anchor
+    spans and cand positions — on the corpus of _para_fastpath_pages."""
+    from fact_extraction_spark.operators.mentions import (
+        fused_sentence_hits, fused_sentence_hits_and_anchors)
+
+    pages = _para_fastpath_pages(spark)
+    aliases = [("Alpha City", "Alpha_City"),
+               ("The Grand City", "The_Grand_City")]
+    head_bc = spark.sparkContext.broadcast(aliases)
+    rmap_bc = spark.sparkContext.broadcast({})
+
+    def key(r):
+        return (r["url"], r["sent_id"], r["rel_pos"], tuple(r["tokens"]),
+                tuple(map(tuple, r["hits"])), tuple(r["cand"]))
+
+    pruned = sorted(
+        key(r) for r in fused_sentence_hits(
+            pages, head_bc, lang=None, include_unanchored=True,
+            prune_empty=True, no_tail=True).collect())
+    full = sorted(
+        key(r) for r in fused_sentence_hits(
+            pages, head_bc, lang=None, include_unanchored=True,
+            prune_empty=False, no_tail=True).collect()
+        if r["hits"] or r["cand"])
+    assert pruned == full and pruned
+
+    def key2(r):
+        return (r["url"], r["sent_id"], r["rel_pos"], tuple(r["tokens"]),
+                tuple(map(tuple, r["hits"])),
+                tuple(map(tuple, r["amentions"])), tuple(r["cand"]))
+
+    pruned2 = sorted(
+        key2(r) for r in fused_sentence_hits_and_anchors(
+            pages, head_bc, rmap_bc, lang=None, include_unanchored=True,
+            prune_empty=True, no_tail=True).collect())
+    full2 = sorted(
+        key2(r) for r in fused_sentence_hits_and_anchors(
+            pages, head_bc, rmap_bc, lang=None, include_unanchored=True,
+            prune_empty=False, no_tail=True).collect()
+        if r["hits"] or r["amentions"] or r["cand"])
+    assert pruned2 == full2 and pruned2
+    # the fast path must actually have something to skip AND something to
+    # keep after a skipped paragraph (id-drift detector): hit sent_ids are
+    # non-contiguous and include ids beyond the first paragraphs
+    ids = sorted({k[1] for k in pruned2 if k[0].endswith("Page_0")})
+    assert ids and ids[-1] > len(ids)
