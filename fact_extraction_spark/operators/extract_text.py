@@ -57,6 +57,12 @@ def extract_sentences_udf(text: pd.Series) -> pd.Series:
     return text.map(_rows)
 
 
+# pure function; non-determinism marking is an optimizer fence so the
+# posexplode in explode_sentences cannot duplicate the ArrowEvalPython node
+# (guide-documented filter-pushdown copy that doubles the whole extraction)
+extract_sentences_udf = extract_sentences_udf.asNondeterministic()
+
+
 def extract_text(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """pages(url, warc_ts, html, …) → (url, warc_ts, lang, text).
 

@@ -503,6 +503,11 @@ def tag_anchor_mentions(sentences: DataFrame, redirect_map_bc,
             ments_out.append(spans)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
 
+    # deterministic function, marked non-deterministic as an optimizer fence:
+    # the explode/filter over the UDF struct otherwise duplicates the
+    # ArrowEvalPython node (guide-documented pushdown copy), doubling the scan
+    _tag = _tag.asNondeterministic()
+
     tagged = sentences.select(
         "url", *keep_cols, "sent_id", "rel_pos",
         _tag(F.col("sentence"), F.col("anchors")).alias("tm"),
@@ -565,6 +570,12 @@ def fused_anchor_mentions(pages: DataFrame, redirect_map_bc,
 
         return html.map(_page)
 
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _fused = _fused.asNondeterministic()
+
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
@@ -620,6 +631,12 @@ def detect_dictionary_mentions(sentences: DataFrame, alias_bc) -> DataFrame:
             toks_out.append(tokens)
             ments_out.append(hits)
         return pd.DataFrame({"tokens": toks_out, "mentions": ments_out})
+
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _scan = _scan.asNondeterministic()
 
     scanned = sentences.select(
         "url", "sent_id", "rel_pos", _scan(F.col("sentence")).alias("tm"))
@@ -898,6 +915,12 @@ def fused_dictionary_mentions(pages: DataFrame, alias_bc,
 
         return html.map(_page)
 
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _fused = _fused.asNondeterministic()
+
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
@@ -1123,6 +1146,12 @@ def fused_sentence_hits(pages: DataFrame, head_bc,
 
         return html.map(_page)
 
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _fused = _fused.asNondeterministic()
+
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
@@ -1175,6 +1204,12 @@ def sentence_head_hits(sentences: DataFrame, head_bc,
         return pd.DataFrame({"tokens": toks_out, "hits": hits_out,
                              "cand": cand_out})
 
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _scan = _scan.asNondeterministic()
+
     return sentences.select(
         "url", "sent_id", "rel_pos", _scan(F.col("sentence")).alias("th")) \
         .select("url", "sent_id", "rel_pos",
@@ -1193,9 +1228,15 @@ def detect_dictionary_mentions_mapside_sentences(
     Candidate tail positions are marked in the scan pass whenever the
     tail's first-token set fits ``max_first_tokens`` (see
     collect_first_token_broadcast), so only they explode downstream."""
+    from fact_extraction_spark.caches import track
+
     ft_bc, wit_bc = collect_tail_broadcasts(tail, max_first_tokens)
-    sent = sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc,
-                              witness_bc=wit_bc)
+    # the scan output feeds THREE subtrees of the union (hot hits, candidate
+    # positions, the tail join-back); persist so the UDF pass over the
+    # corpus executes once instead of once per branch
+    sent = track(sentence_head_hits(sentences, head_bc, first_tok_bc=ft_bc,
+                                    witness_bc=wit_bc).persist())
+    sent.count()  # eager fill: branches of one action race an unfilled cache
     return _mapside_union(sent, tail, max_tail_tokens,
                           use_cand=ft_bc is not None)
 
@@ -1304,6 +1345,12 @@ def fused_sentence_hits_and_anchors(pages: DataFrame, head_bc,
 
         return html.map(_page)
 
+    # pure function; non-determinism marking is an optimizer fence so the
+    # explode/filter over the UDF output cannot duplicate the
+    # ArrowEvalPython node (guide-documented filter-pushdown copy that
+    # doubled the whole scan per plan branch)
+    _fused = _fused.asNondeterministic()
+
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
@@ -1374,6 +1421,7 @@ def detect_dictionary_mentions_mapside(
     sent = track(fused_sentence_hits(
         pages, head_bc, lang=lang, first_tok_bc=ft_bc,
         prune_empty=ft_bc is not None, witness_bc=wit_bc).persist())
+    sent.count()  # eager fill: branches of one action race an unfilled cache
     return _mapside_union(sent, tail, max_tail_tokens,
                           use_cand=ft_bc is not None)
 

@@ -352,6 +352,16 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
                                 else False),
             first_tok_bc=ft_bc, prune_empty=prune,
             witness_bc=wit_bc, no_tail=no_tail).persist())
+        # EAGER cache fill: the sentence rows feed several INDEPENDENT
+        # subtrees of the downstream action (hot hits, candidate positions,
+        # the tail join-back, anchor-mention profiles, the ambiguous/
+        # unambiguous splits) — independent stages of one job run
+        # concurrently, and each that reaches an unfilled cache partition
+        # recomputes the whole html→scan UDF chain for it. One count()
+        # executes the corpus scan exactly once; every branch then reads
+        # the cache (the round-2 windows-persist lesson applied to the
+        # scan persist).
+        sent.count()
         if dict_ctx["mode"] == "broadcast":
             candidates = hot_hits(sent)
         else:
