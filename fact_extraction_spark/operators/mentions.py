@@ -976,7 +976,8 @@ def alias_join_keys(aliases: DataFrame) -> DataFrame:
 
 
 def split_alias_dictionary(aliases: DataFrame, hot_k: int = 100_000,
-                           max_tail_tokens: int = 6
+                           max_tail_tokens: int = 6,
+                           keyed: DataFrame | None = None
                            ) -> tuple[DataFrame, DataFrame]:
     """Partition the alias dictionary into a bounded hot head and a
     relational tail.
@@ -988,9 +989,13 @@ def split_alias_dictionary(aliases: DataFrame, hot_k: int = 100_000,
     profiling pass when available). The split is per ALIAS: every candidate
     entity of a hot alias rides along, so ambiguity is preserved on both
     paths. Deterministic (length, alias) ordering via distributed top-k —
-    no global window, no driver collect.
+    no global window, no driver collect. ``keyed`` lets the caller pass an
+    already-computed (ideally persisted) ``alias_join_keys(aliases)`` so
+    the tokenizing UDF over the dimension runs once per context build, not
+    once per derived job.
     """
-    keyed = alias_join_keys(aliases)
+    if keyed is None:
+        keyed = alias_join_keys(aliases)
     short = keyed.filter(F.col("n_tokens") <= max_tail_tokens)
     long_head = keyed.filter(F.col("n_tokens") > max_tail_tokens)
     hot_aliases = (short.select("alias").distinct()
@@ -1069,15 +1074,17 @@ def collect_tail_witness_broadcast(tail: DataFrame,
 
 
 def collect_tail_broadcasts(tail: DataFrame, max_rows: int = 2_000_000):
-    """(first_token_bc, witness_bc) for the tail, with ONE cheap limit(1)
-    probe short-circuiting both driver collect jobs when the tail is empty
-    (every alias fit in the head — common in tests and bounded domains;
-    ADVICE r6): the empty tail's sets are empty frozensets by definition."""
+    """(first_token_bc, witness_bc, tail_empty) for the tail, with ONE cheap
+    limit(1) probe short-circuiting both driver collect jobs when the tail
+    is empty (every alias fit in the head — common in tests and bounded
+    domains; ADVICE r6): the empty tail's sets are empty frozensets by
+    definition. ``tail_empty`` lets callers skip _mapside_union's own
+    emptiness probe."""
     if tail.select("key").limit(1).count() == 0:
         empty = tail.sparkSession.sparkContext.broadcast(frozenset())
-        return empty, empty
+        return empty, empty, True
     return (collect_first_token_broadcast(tail, max_rows),
-            collect_tail_witness_broadcast(tail, max_rows))
+            collect_tail_witness_broadcast(tail, max_rows), False)
 
 
 def fused_sentence_hits(pages: DataFrame, head_bc,
@@ -1230,7 +1237,8 @@ def detect_dictionary_mentions_mapside_sentences(
     collect_first_token_broadcast), so only they explode downstream."""
     from fact_extraction_spark.caches import track
 
-    ft_bc, wit_bc = collect_tail_broadcasts(tail, max_first_tokens)
+    ft_bc, wit_bc, tail_empty = collect_tail_broadcasts(tail,
+                                                         max_first_tokens)
     # the scan output feeds THREE subtrees of the union (hot hits, candidate
     # positions, the tail join-back); persist so the UDF pass over the
     # corpus executes once instead of once per branch
@@ -1238,7 +1246,7 @@ def detect_dictionary_mentions_mapside_sentences(
                                     witness_bc=wit_bc).persist())
     sent.count()  # eager fill: branches of one action race an unfilled cache
     return _mapside_union(sent, tail, max_tail_tokens,
-                          use_cand=ft_bc is not None)
+                          use_cand=ft_bc is not None, tail_empty=tail_empty)
 
 
 SENTENCE_HITS_ANCHORS_SCHEMA = ArrayType(StructType([
@@ -1417,33 +1425,41 @@ def detect_dictionary_mentions_mapside(
     """
     from fact_extraction_spark.caches import track
 
-    ft_bc, wit_bc = collect_tail_broadcasts(tail, max_first_tokens)
+    ft_bc, wit_bc, tail_empty = collect_tail_broadcasts(tail,
+                                                         max_first_tokens)
     sent = track(fused_sentence_hits(
         pages, head_bc, lang=lang, first_tok_bc=ft_bc,
         prune_empty=ft_bc is not None, witness_bc=wit_bc).persist())
     sent.count()  # eager fill: branches of one action race an unfilled cache
     return _mapside_union(sent, tail, max_tail_tokens,
-                          use_cand=ft_bc is not None)
+                          use_cand=ft_bc is not None, tail_empty=tail_empty)
 
 
 def _mapside_union(sent: DataFrame, tail: DataFrame,
-                   max_tail_tokens: int, use_cand: bool = False) -> DataFrame:
+                   max_tail_tokens: int, use_cand: bool = False,
+                   tail_empty: bool | None = None) -> DataFrame:
     """Hot-head hits ∪ n-gram tail join over sentence rows
     (url, sent_id, rel_pos, tokens, hits[, cand]).
 
     ``use_cand`` requires ``sent.cand`` to hold the candidate tail-start
     positions (computed in the scan UDF against the broadcast first-token
     set): the n-gram build then explodes ONLY those positions — on filler-
-    heavy web text a >100× row reduction over posexploding every token."""
+    heavy web text a >100× row reduction over posexploding every token.
+
+    ``tail_empty``: the caller's already-known emptiness of the tail
+    (collect_tail_broadcasts probes it once at context build); None means
+    unknown — probe here as before."""
     from fact_extraction_spark.caches import track
 
     hot = hot_hits(sent)
 
+    if tail_empty is True:
+        return hot
     tail_keyed = track(tail.select("alias", "entity", "key").persist())
     # empty tail (every alias fit in the head): the n-gram explode +
     # two joins would still execute over the whole corpus just to produce
     # zero rows — short-circuit with one cheap dimension-table probe
-    if tail_keyed.limit(1).count() == 0:
+    if tail_empty is None and tail_keyed.limit(1).count() == 0:
         return hot
 
     if use_cand:

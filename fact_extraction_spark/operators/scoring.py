@@ -199,6 +199,12 @@ def score_candidates(
     n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
 
     if type_matching:
+        from fact_extraction_spark.caches import track
+        # n_types feeds FOUR subtrees (typed join + unknown anti-join, per
+        # side); persist + eager fill so the small aggregation over the
+        # types table runs once instead of once per reference
+        n_types = track(n_types.persist())
+        n_types.count()
         # ---- reasonable-relations gate + type score + early exit, fused
         # into ONE entity-dimension table per side ----
         # (entity, pred, type_score): gate-passing typed entities carry
@@ -271,9 +277,20 @@ def score_candidates(
         obj_tbl = side_scores(obj_ents, "object") \
             .withColumnRenamed("entity", "object")
 
+        # the two side-table materializations are independent multi-stage
+        # jobs over dimension tables whose wall time is stage-count
+        # overhead, not bytes — submit them concurrently so one side's
+        # stages back-fill the other's stragglers (guide §2.6; job
+        # descriptions are thread-local so the UI stays labelled)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_sub = pool.submit(finish_side, sub_tbl)
+            f_obj = pool.submit(finish_side, obj_tbl)
+            sub_done, obj_done = f_sub.result(), f_obj.result()
+
         scored = (
-            cands.join(finish_side(sub_tbl), sub_key)
-            .join(finish_side(obj_tbl), ["object", "pred"])
+            cands.join(sub_done, sub_key)
+            .join(obj_done, ["object", "pred"])
         )
     else:
         # reasonable_relations = ALL learned relations

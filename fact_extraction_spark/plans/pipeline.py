@@ -253,7 +253,12 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
     # the whole ranking subplan (profiles, idf, context vectors, cosine,
     # per-span window) with identical semantics — top-1 of a single
     # candidate is that candidate regardless of score.
-    keyed = alias_join_keys(cands)
+    # the tokenized-key dimension feeds MANY derived jobs (ambiguity agg,
+    # the has_ambiguous probe, the head/tail split's filters, the hot-head
+    # top-k and the head collect) — each would otherwise re-run the
+    # candidate build + tokenizing UDF chain; persist it once, eagerly
+    keyed = track(alias_join_keys(cands).persist())
+    keyed.count()
     amb_keys = (keyed.groupBy("key")
                 .agg(F.countDistinct("entity").alias("_n"))
                 .filter(F.col("_n") > 1).select("key"))
@@ -274,13 +279,14 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
                     n_pairs, strategy)
     if strategy == "broadcast":
         ctx = {"mode": "broadcast", "ambiguous": ambiguous,
-               "alias_bc": collect_alias_broadcast(spark, cands)}
+               "alias_bc": collect_alias_broadcast(spark, cands),
+               "has_ambiguous": ambiguous.limit(1).count() > 0}
         if ctx_key is not None:
             extras[ctx_key] = (ctx, pages, redirects)
         return ctx
     head, tail = split_alias_dictionary(
         cands, hot_k=cfg.dictionary_hot_k,
-        max_tail_tokens=cfg.max_tail_tokens)
+        max_tail_tokens=cfg.max_tail_tokens, keyed=keyed)
     # the ONLY driver materialization is the bounded head (≤ hot_k aliases
     # + the rare >max_tail_tokens ones); the tail stays a DataFrame
     head_bc = collect_alias_broadcast(spark, head.select("alias", "entity"))
@@ -300,14 +306,21 @@ def _build_dict_ctx(spark: SparkSession, pages: DataFrame,
     # level match gate, one selective token per tail alias) — both None
     # when pruning is off or the set exceeds the broadcast bound; the tail
     # join then falls back to posexplode + semi-join / ungated scanning
-    ft_bc = wit_bc = None
+    ft_bc = wit_bc = tail_known_empty = None
     if cfg.dictionary_prune_sentences:
         from fact_extraction_spark.operators.mentions import (
             collect_tail_broadcasts)
         bound = cfg.dictionary_first_token_broadcast_rows
-        ft_bc, wit_bc = collect_tail_broadcasts(tail_keyed, bound)
+        ft_bc, wit_bc, tail_known_empty = collect_tail_broadcasts(
+            tail_keyed, bound)
     ctx = {"mode": "mapside", "head_bc": head_bc, "ambiguous": ambiguous,
-           "tail": tail_keyed, "first_tok_bc": ft_bc, "witness_bc": wit_bc}
+           "tail": tail_keyed, "first_tok_bc": ft_bc, "witness_bc": wit_bc,
+           # probed once at build; spares every extract _mapside_union's
+           # own limit(1) emptiness job (None = unknown, probe as before)
+           "tail_empty": tail_known_empty,
+           # materialized once at build; spares every extract the
+           # per-call limit(1) probe of the ambiguous-alias dimension
+           "has_ambiguous": ambiguous.limit(1).count() > 0}
     if ctx_key is not None:
         extras[ctx_key] = (ctx, pages, redirects)
     return ctx
@@ -370,7 +383,8 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
                             "cand"),
                 dict_ctx["tail"],
                 (cfg.max_tail_tokens if cfg else 6),
-                use_cand=ft_bc is not None)
+                use_cand=ft_bc is not None,
+                tail_empty=dict_ctx.get("tail_empty"))
         # stage 2b runs ONLY over hits of ambiguous aliases (dictionary-side
         # split, see _build_dict_ctx); unambiguous hits pass through — the
         # ranking subplan's corpus-sized shuffles shrink to the ambiguous
@@ -379,7 +393,10 @@ def _page_mentions(pages: DataFrame, redirect_map_bc, lang: str | None,
         amb = dict_ctx["ambiguous"]
         cols = ["url", "sent_id", "rel_pos", "tokens", "start", "end",
                 "entity"]
-        if amb.limit(1).count() == 0:
+        has_amb = dict_ctx.get("has_ambiguous")
+        if has_amb is None:
+            has_amb = amb.limit(1).count() > 0
+        if not has_amb:
             mentions = candidates.select(*cols)
         else:
             amb_b = F.broadcast(amb)
