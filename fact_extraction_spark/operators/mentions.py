@@ -214,9 +214,13 @@ def _scan_gate_set(ac: TokenAhoCorasick, wt: frozenset | None) -> frozenset:
     sentence disjoint from this set provably produces no automaton hit and
     no tail-join match — the condition the filler fast paths key on.
     Strictly more selective than the start-token set for stop-word-headed
-    dictionaries ("The …" aliases no longer put "The" in the gate)."""
+    dictionaries ("The …" aliases no longer put "The" in the gate), and
+    rarest-token ranked (VERDICT r6 Next #3): each alias contributes its
+    minimal-(dictionary-df, position) eligible token, so "John …"/"New …"
+    alias families no longer flood the gate with their shared corpus-
+    frequent head token."""
     def build():
-        s = ac.witness_tokens(_is_witness_token)
+        s = ac.witness_tokens_rarest(_is_witness_token)
         return (s | wt) if wt is not None else s
     return _cached_by_identity(_GATE_CACHE, ac, wt, build)
 
@@ -1054,18 +1058,27 @@ def collect_tail_witness_broadcast(tail: DataFrame,
     token of each tail key (any member is a valid witness); the SQL-side
     F.lower/F.length and Python str.lower/len can diverge on non-ASCII
     tokens, so the picked witness may differ from the Python-side pick —
-    harmless, per the invariant. Feeds the sentence-level match gate: at
-    most one token per distinct tail alias, typically far fewer after
-    dedup, so it broadcasts whenever the first-token set does."""
+    harmless, per the invariant. Like the automaton-side pick
+    (witness_tokens_rarest), each key contributes its minimal-
+    (dictionary-df, position) eligible token — df counted over the tail
+    keys — so shared family head tokens stay out of the gate. Feeds the
+    sentence-level match gate: at most one token per distinct tail alias,
+    typically far fewer after dedup, so it broadcasts whenever the
+    first-token set does."""
     toks = F.split("key", " ")
     stop_arr = F.array(*[F.lit(w) for w in sorted(_WITNESS_STOP)])
-    wit = F.coalesce(
-        F.element_at(
-            F.filter(toks, lambda t: (F.length(t) > 1)
-                     & ~F.array_contains(stop_arr, F.lower(t))), 1),
-        F.element_at(toks, 1))
-    wits = tail.select(wit.alias("tok")).where(F.col("tok").isNotNull()) \
-        .distinct()
+    keys = tail.select("key").distinct()
+    ex = keys.select("key", F.posexplode(toks).alias("pos", "tok"))
+    df_tab = ex.groupBy("tok").agg(F.countDistinct("key").alias("df"))
+    eligible = ex.filter((F.length("tok") > 1)
+                         & ~F.array_contains(stop_arr, F.lower("tok")))
+    picked = (eligible.join(df_tab, "tok")
+              .groupBy("key")
+              .agg(F.min_by("tok", F.struct("df", "pos")).alias("tok")))
+    fallback = (keys.join(picked.select("key"), "key", "left_anti")
+                .select("key", F.element_at(toks, 1).alias("tok")))
+    wits = (picked.select("tok").unionByName(fallback.select("tok"))
+            .where(F.col("tok").isNotNull()).distinct())
     rows = wits.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         return None

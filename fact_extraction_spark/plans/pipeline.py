@@ -39,8 +39,7 @@ from fact_extraction_spark.operators.mentions import (
     _mapside_union, alias_join_keys, anchor_mention_rows,
     anchor_windows_relational,
     build_alias_candidates, collect_alias_broadcast,
-    collect_first_token_broadcast, collect_redirect_map,
-    collect_tail_witness_broadcast,
+    collect_redirect_map,
     fused_anchor_mentions, fused_anchor_windows,
     fused_sentence_hits_and_anchors, hot_hits, split_alias_dictionary,
 )

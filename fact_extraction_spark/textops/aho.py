@@ -113,6 +113,46 @@ class TokenAhoCorasick:
                      wit if wit is not None else (tok if pick(tok) else None)))
         return frozenset(out)
 
+    def witness_tokens_rarest(self, pick) -> frozenset:
+        """Like ``witness_tokens`` but choosing, per alias, the RAREST
+        eligible token — minimal (dictionary-df, position) among tokens
+        satisfying ``pick``, falling back to the alias's first token when
+        none does. Dictionary df (how many aliases contain the token) is
+        the free proxy for corpus frequency: vast alias families share
+        their head token ("John …", "New …"), so the first-non-stopword
+        pick floods the gate with exactly the tokens most likely to appear
+        in arbitrary text, while each family's distinctive tail tokens are
+        both dictionary-rare and corpus-rare. Any member token keeps the
+        gate exact (necessary-condition argument of ``witness_tokens``);
+        this pick only shrinks what the filler probe can match."""
+        assert self._built, "witness_tokens_rarest() before build()"
+        # pass 1: df per token = number of alias paths containing it
+        df: dict[str, int] = {}
+        stack = [(child, (tok,)) for tok, child in self._next[0].items()]
+        while stack:
+            state, path = stack.pop()
+            if self._out_raw[state]:
+                for t in set(path):
+                    df[t] = df.get(t, 0) + len(self._out_raw[state])
+            for tok, child in self._next[state].items():
+                stack.append((child, path + (tok,)))
+        # pass 2: per alias, min (df, position) among pick-eligible tokens
+        out: set = set()
+        stack = [(child, (tok,)) for tok, child in self._next[0].items()]
+        while stack:
+            state, path = stack.pop()
+            if self._out_raw[state]:
+                best = None
+                for pos, t in enumerate(path):
+                    if pick(t):
+                        key = (df[t], pos)
+                        if best is None or key < best[0]:
+                            best = (key, t)
+                out.add(best[1] if best is not None else path[0])
+            for tok, child in self._next[state].items():
+                stack.append((child, path + (tok,)))
+        return frozenset(out)
+
     def find_at(self, tokens: list[str], starts) -> list[tuple]:
         """All matches STARTING at the given positions, as sorted
         (start, end_inclusive, payload) tuples.

@@ -568,3 +568,40 @@ def test_paragraph_fastpath_rows_identical(spark):
     # non-contiguous and include ids beyond the first paragraphs
     ids = sorted({k[1] for k in pruned2 if k[0].endswith("Page_0")})
     assert ids and ids[-1] > len(ids)
+
+
+def test_rarest_witness_excludes_family_head_tokens():
+    """witness_tokens_rarest picks each alias's min-(dict-df, position)
+    eligible token: a family head token shared by many aliases ("John …")
+    must stay OUT of the gate when every member has a rarer token, and the
+    stopword/1-char exclusion + first-token fallback still hold."""
+    from fact_extraction_spark.operators.mentions import _is_witness_token
+    from fact_extraction_spark.textops.tokenizer import tokenize
+
+    aliases = ["John Smith", "John Karzenbach", "John Miller",
+               "The Grand City", "of x"]
+    ac = TokenAhoCorasick.from_entries(
+        (tokenize(a), (a, a)) for a in aliases)
+    got = ac.witness_tokens_rarest(_is_witness_token)
+    # each family member contributes its unique surname, not "John"
+    assert {"Smith", "Karzenbach", "Miller"} <= got and "John" not in got
+    # stopword-headed alias contributes its first eligible token
+    assert "Grand" in got and "The" not in got
+    # no eligible token ("of" stopword, "x" 1-char) -> first-token fallback
+    assert "of" in got
+
+
+def test_tail_witness_broadcast_rarest_pick(spark):
+    """collect_tail_witness_broadcast mirrors the rarest pick relationally:
+    df over tail keys, min-(df, pos) eligible token per key, first-token
+    fallback — and every picked token is a member of its key (the
+    load-bearing gate invariant)."""
+    from fact_extraction_spark.operators.mentions import (
+        alias_join_keys, collect_tail_witness_broadcast)
+
+    tail = alias_join_keys(spark.createDataFrame(
+        [("John Smith", "E1"), ("John Karzenbach", "E2"),
+         ("the of", "E3")], "alias string, entity string"))
+    wits = collect_tail_witness_broadcast(tail).value
+    assert {"Smith", "Karzenbach"} <= wits and "John" not in wits
+    assert "the" in wits  # fallback: no eligible token in "the of"
