@@ -103,7 +103,11 @@ def url_dim(discovery: DataFrame) -> DataFrame:
 
 
 def _entity_side_scores(types: DataFrame, type_probs: DataFrame, side: str) -> DataFrame:
-    """(entity, pred, prob_sum) — Σ P(rel|type) over the entity's types."""
+    """(entity, pred, prob_sum) — Σ P(rel|type) over the entity's types.
+
+    Reference spelling: the hot path is ``fused_side_scores`` (one types
+    traversal for both sides); this per-side form pins its equivalence in
+    test_fused_side_scores_matches_reference."""
     side_probs = F.broadcast(
         type_probs.filter(F.col("side") == side).select("pred", "type", "probability"))
     return (
@@ -115,10 +119,63 @@ def _entity_side_scores(types: DataFrame, type_probs: DataFrame, side: str) -> D
 
 def _gate_pairs(types: DataFrame, pattern_types: DataFrame, side: str) -> DataFrame:
     """(entity, pred) pairs whose type sets intersect the learned gating set
-    (fact_extractor.py:97-109 reasonable-relations filter)."""
+    (fact_extractor.py:97-109 reasonable-relations filter). Reference
+    spelling — see ``fused_side_scores`` / ``_entity_side_scores``."""
     gate = F.broadcast(
         pattern_types.filter(F.col("side") == side).select("pred", "type"))
     return types.join(gate, "type").select("entity", "pred").distinct()
+
+
+def fused_side_scores(types: DataFrame, pattern_types: DataFrame,
+                      type_probs: DataFrame, pattern_stats: DataFrame,
+                      n_types: DataFrame, ents_both: DataFrame,
+                      allow_unknown_entity_types: bool) -> DataFrame:
+    """(entity, side, pred, type_score) for BOTH candidate sides in ONE
+    types traversal.
+
+    Exact-algebra fusion of the former per-side chain (still kept above as
+    the reference spelling): ``_gate_pairs`` ∩ ents → left-join
+    ``_entity_side_scores`` → ÷ n_types → early-exit filter. The gating set
+    (pattern_types) and the probability table (type_probs) are both keyed
+    (side, pred, type): union them into one broadcast dim and aggregate the
+    types join once. max(is_gate) recovers the gate (an (entity, pred)
+    passes iff some type matches the gating set) and sum(probability)
+    recovers Σ P(rel|type) (gate-only rows carry NULL, which F.sum ignores,
+    and an (entity, pred) holding a gate match but zero probability mass
+    sums to NULL → coalesce 0 → dropped by the same >0 early-exit filter —
+    pattern_matcher.py:31-37). ``ents_both`` is the labelled candidate
+    entity set: (entity, side) with side ∈ {subject, object}.
+    Equivalence is pinned by test_fused_side_scores_matches_reference."""
+    gate_dim = (pattern_types.select("side", "pred", "type")
+                .withColumn("probability", F.lit(None).cast("double"))
+                .withColumn("is_gate", F.lit(1)))
+    prob_dim = (type_probs.select("side", "pred", "type", "probability")
+                .withColumn("is_gate", F.lit(0)))
+    type_dim = F.broadcast(gate_dim.unionByName(prob_dim))
+
+    typed = (
+        types.join(type_dim, "type")
+        .groupBy("entity", "side", "pred")
+        .agg(F.sum("probability").alias("prob_sum"),
+             F.max("is_gate").alias("gated"))
+        .filter(F.col("gated") == 1)
+        .join(ents_both, ["entity", "side"], "left_semi")
+        .join(n_types, "entity")
+        .withColumn("type_score",
+                    F.coalesce("prob_sum", F.lit(0.0)) / F.col("n_types"))
+        .filter(F.col("type_score") > 0)
+        .select("entity", "side", "pred", "type_score"))
+    if allow_unknown_entity_types:
+        # type-less entities score None for every learned relation
+        # (weights renormalize downstream)
+        all_preds = F.broadcast(pattern_stats.select("pred").distinct())
+        unknown = (
+            ents_both.join(n_types, "entity", "left_anti")
+            .crossJoin(all_preds)
+            .select("entity", "side", "pred",
+                    F.lit(None).cast("double").alias("type_score")))
+        typed = typed.unionByName(unknown)
+    return typed
 
 
 def score_candidates(
@@ -200,44 +257,45 @@ def score_candidates(
 
     if type_matching:
         from fact_extraction_spark.caches import track
-        # n_types feeds FOUR subtrees (typed join + unknown anti-join, per
-        # side); persist + eager fill so the small aggregation over the
-        # types table runs once instead of once per reference
+        # n_types feeds the fused typed join + the unknown anti-join;
+        # persist + eager fill so the small aggregation over the types
+        # table runs once instead of once per reference
         n_types = track(n_types.persist())
         n_types.count()
-        # ---- reasonable-relations gate + type score + early exit, fused
-        # into ONE entity-dimension table per side ----
-        # (entity, pred, type_score): gate-passing typed entities carry
-        # Σ P(rel|type)/|types| (zero-score rows dropped here — the
-        # pattern_matcher.py:31-37 early exit); type-less entities carry
-        # NULL for every learned relation when allowed. One inner join per
-        # side replaces the round-2 shape of gate join + prob join +
-        # n_types join + post-hoc filter (three corpus-sized shuffle joins
-        # fewer).
+        # ---- reasonable-relations gate + type score + early exit, one
+        # fused traversal PER SIDE (fused_side_scores): the gate+prob
+        # union-dim aggregation replaces the former gate-pairs distinct +
+        # prob groupBy + left-join chain (two types traversals and two
+        # extra shuffles per side). The two sides stay CONCURRENT — an
+        # A/B of a single both-sides job measured 2 s SLOWER at the bench
+        # shape despite less total work, because one fused job serializes
+        # a critical path that two overlapped per-side jobs hide (guide
+        # §2.6 back-filling); per-side fusion keeps the overlap AND the
+        # shorter chains. ----
+        if int_url:
+            # subject entities come from the url dimension (a superset of
+            # candidate subjects — extra rows never match), and the side
+            # table is re-keyed to url_id so the candidate join hashes an
+            # 8-byte key instead of the subject string
+            sub_ents = url_map.select(
+                F.col("subject").alias("entity")).distinct()
+        else:
+            sub_ents = cands.select(
+                F.col("subject").alias("entity")).distinct()
+        obj_ents = cands.select(F.col("object").alias("entity")).distinct()
+
         def side_scores(ents: DataFrame, side: str) -> DataFrame:
-            """(entity, pred, type_score) over the given candidate-side
-            entity set (one "entity" column)."""
-            typed = (
-                _gate_pairs(types, pattern_types, side)
-                .join(ents, "entity", "left_semi")
-                .join(_entity_side_scores(types, type_probs, side),
-                      ["entity", "pred"], "left")
-                .join(n_types, "entity")
-                .withColumn("type_score",
-                            F.coalesce("prob_sum", F.lit(0.0))
-                            / F.col("n_types"))
-                .filter(F.col("type_score") > 0)
-                .select("entity", "pred", "type_score"))
-            if allow_unknown_entity_types:
-                all_preds = F.broadcast(
-                    pattern_stats.select("pred").distinct())
-                unknown = (
-                    ents.join(n_types, "entity", "left_anti")
-                    .crossJoin(all_preds)
-                    .withColumn("type_score", F.lit(None).cast("double")))
-                typed = typed.unionByName(unknown)
-            return typed.withColumnRenamed("type_score",
-                                           f"{side}_type_score")
+            """(entity, {side}_type_score, pred) over the given candidate-
+            side entity set (one "entity" column)."""
+            return (fused_side_scores(
+                types,
+                pattern_types.filter(F.col("side") == side),
+                type_probs.filter(F.col("side") == side),
+                pattern_stats, n_types,
+                ents.withColumn("side", F.lit(side)),
+                allow_unknown_entity_types)
+                .drop("side")
+                .withColumnRenamed("type_score", f"{side}_type_score"))
 
         def finish_side(tbl: DataFrame) -> DataFrame:
             # The side table is bounded (candidate entities × admissible
@@ -255,12 +313,6 @@ def score_candidates(
             return tbl
 
         if int_url:
-            # subject entities come from the url dimension (a superset of
-            # candidate subjects — extra rows never match), and the side
-            # table is re-keyed to url_id so the candidate join hashes an
-            # 8-byte key instead of the subject string
-            sub_ents = url_map.select(
-                F.col("subject").alias("entity")).distinct()
             sub_tbl = (
                 side_scores(sub_ents, "subject")
                 .join(url_map.select(
@@ -268,12 +320,9 @@ def score_candidates(
                 .select("url_id", "pred", "subject_type_score"))
             sub_key = "url_id"
         else:
-            sub_ents = cands.select(
-                F.col("subject").alias("entity")).distinct()
             sub_tbl = side_scores(sub_ents, "subject") \
                 .withColumnRenamed("entity", "subject")
             sub_key = "subject"
-        obj_ents = cands.select(F.col("object").alias("entity")).distinct()
         obj_tbl = side_scores(obj_ents, "object") \
             .withColumnRenamed("entity", "object")
 

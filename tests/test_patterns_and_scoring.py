@@ -293,3 +293,83 @@ def test_side_broadcast_threshold_is_plan_only(spark, tiny_mentions):
             (r["subj"], r["pred"], r["obj"], round(r["score"], 9))
             for r in scored.collect()))
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_fused_side_scores_matches_reference(spark):
+    """The round-7 fused side-table build (one types traversal for both
+    sides) must be row-identical to the per-side reference chain
+    (_gate_pairs ∩ ents → left-join _entity_side_scores → ÷ n_types →
+    early-exit filter → ∪ unknown). The fixture covers every branch:
+    gate+prob, gate-without-prob (summed NULL → dropped), prob-without-gate
+    (dropped), a type-less entity (NULL rows per pred), an entity present
+    on BOTH sides, and a non-candidate entity (semi-join drop)."""
+    types = spark.createDataFrame(
+        [("A", "Person"), ("A", "Actor"),          # gate+prob, 2 types
+         ("B", "Person"),                          # gate only (no prob row)
+         ("C", "Weird"),                           # prob only (no gate row)
+         ("D", "City"),                            # object-side gate+prob
+         ("Both", "Person"), ("Both", "City"),     # candidate on both sides
+         ("NotCand", "Person")],                   # not a candidate at all
+        "entity string, type string")
+    pattern_types = spark.createDataFrame(
+        [("subject", "born", "Person"), ("subject", "acted", "Actor"),
+         ("object", "born", "City")],
+        "side string, pred string, type string")
+    type_probs = spark.createDataFrame(
+        [("subject", "born", "Person", 0.8),
+         ("subject", "acted", "Person", 0.0),   # zero mass → dropped
+         ("subject", "born", "Weird", 0.9),     # no gate → dropped
+         ("object", "born", "City", 0.6)],
+        "side string, pred string, type string, probability double")
+    pattern_stats = spark.createDataFrame(
+        [("born", 4, 2, 1.0), ("acted", 2, 1, 1.0)],
+        "pred string, total_words int, covered_sentences int, diversity double")
+    ents_sub = spark.createDataFrame(
+        [("A",), ("B",), ("C",), ("Both",), ("Untyped",)], "entity string")
+    ents_obj = spark.createDataFrame(
+        [("D",), ("Both",), ("Untyped",)], "entity string")
+
+    from pyspark.sql import functions as F
+    from fact_extraction_spark.operators.scoring import (
+        _entity_side_scores, _gate_pairs, fused_side_scores)
+
+    n_types = types.groupBy("entity").agg(F.count("*").alias("n_types"))
+
+    def reference_side(ents, side):
+        typed = (
+            _gate_pairs(types, pattern_types, side)
+            .join(ents, "entity", "left_semi")
+            .join(_entity_side_scores(types, type_probs, side),
+                  ["entity", "pred"], "left")
+            .join(n_types, "entity")
+            .withColumn("type_score",
+                        F.coalesce("prob_sum", F.lit(0.0))
+                        / F.col("n_types"))
+            .filter(F.col("type_score") > 0)
+            .select("entity", "pred", "type_score"))
+        all_preds = F.broadcast(pattern_stats.select("pred").distinct())
+        unknown = (ents.join(n_types, "entity", "left_anti")
+                   .crossJoin(all_preds)
+                   .withColumn("type_score", F.lit(None).cast("double")))
+        return typed.unionByName(unknown).withColumn("side", F.lit(side))
+
+    expected = sorted(
+        (r["entity"], r["side"], r["pred"],
+         None if r["type_score"] is None else round(r["type_score"], 9))
+        for r in reference_side(ents_sub, "subject")
+        .unionByName(reference_side(ents_obj, "object")).collect())
+
+    ents_both = (ents_sub.withColumn("side", F.lit("subject"))
+                 .unionByName(ents_obj.withColumn("side", F.lit("object"))))
+    got = sorted(
+        (r["entity"], r["side"], r["pred"],
+         None if r["type_score"] is None else round(r["type_score"], 9))
+        for r in fused_side_scores(
+            types, pattern_types, type_probs, pattern_stats,
+            n_types, ents_both, True).collect())
+
+    assert got == expected and got, got
+    # and with allow_unknown off, the NULL rows disappear on both sides
+    got_known = fused_side_scores(types, pattern_types, type_probs,
+                                  pattern_stats, n_types, ents_both, False)
+    assert got_known.filter(F.col("type_score").isNull()).count() == 0
